@@ -1,0 +1,117 @@
+"""Chaos-modulated multi-head attention.
+
+Re-design of reference src/models/chaos_attention.py:6-114. Semantics are
+identical; two TPU-native changes:
+
+1. **Explicit PRNG.** The reference draws fresh `torch.randn` noise inside
+   every forward pass (chaos_attention.py:50-52), making even eval
+   nondeterministic. Here the Lorenz initial condition comes from a linen
+   RNG collection ('chaos'), so training is stochastic under a threaded key
+   and benchmarks are reproducible under a fixed key (SURVEY.md §7
+   'nondeterminism policy').
+
+2. **Fused score matmul.** The reference computes two [B,h,L,L] score
+   matmuls — q@k^T and chaos@k^T — and combines them after gating
+   (chaos_attention.py:82, :92-100). Because the gate g is per-query-row
+   ([B,1,L,1]), the combination is algebraically
+
+       scores + s * g * (c @ k^T) == ((q + s*g*c) @ k^T) / sqrt(d)
+
+   so we add the gated chaos features into q *before* the matmul: one MXU
+   pass instead of two, exactly equal numerics.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import TorchDense
+
+Array = jnp.ndarray
+
+LORENZ_SIGMA = 10.0  # reference chaos_attention.py:35
+LORENZ_RHO = 28.0  # reference chaos_attention.py:36
+LORENZ_BETA = 8.0 / 3.0  # reference chaos_attention.py:37
+LORENZ_DT = 0.01  # reference chaos_attention.py:39
+LORENZ_STEPS = 5  # reference chaos_attention.py:55
+
+
+def lorenz_trajectory(key: Array, batch: int, steps: int = LORENZ_STEPS) -> Array:
+    """[B, steps, 3] Euler-integrated Lorenz states from a 0.1*N(0,1) init
+    (reference chaos_attention.py:39-57)."""
+    init = 0.1 * jax.random.normal(key, (batch, 3))
+
+    def euler(state, _):
+        x, y, z = state[..., 0], state[..., 1], state[..., 2]
+        dx = LORENZ_SIGMA * (y - x)
+        dy = x * (LORENZ_RHO - z) - y
+        dz = x * y - LORENZ_BETA * z
+        nxt = jnp.stack(
+            [x + LORENZ_DT * dx, y + LORENZ_DT * dy, z + LORENZ_DT * dz], axis=-1
+        )
+        return nxt, nxt
+
+    _, traj = jax.lax.scan(euler, init, None, length=steps)
+    return jnp.transpose(traj, (1, 0, 2))  # [B, steps, 3]
+
+
+def chaos_field(key: Array, batch: int, seq_len: int) -> Array:
+    """Tile the 5-step Lorenz trajectory along the sequence axis to
+    [B, L, 3] (reference chaos_attention.py:59-66)."""
+    traj = lorenz_trajectory(key, batch)
+    n_repeats = -(-seq_len // LORENZ_STEPS)
+    return jnp.tile(traj, (1, n_repeats, 1))[:, :seq_len, :]
+
+
+class ChaosAttention(nn.Module):
+    """MHA + Lorenz-gated additive chaos scores
+    (reference chaos_attention.py:6-114)."""
+
+    dim: int
+    num_heads: int = 8
+    chaos_strength: float = 0.1
+    temperature: float = 1.0
+
+    @nn.compact
+    def __call__(
+        self, x: Array, mask: Array | None = None, chaos_key: Array | None = None
+    ) -> Array:
+        B, L, D = x.shape
+        h = self.num_heads
+        hd = D // h
+        assert D % h == 0
+
+        q = TorchDense(D, name="q_proj")(x)
+        k = TorchDense(D, name="k_proj")(x)
+        v = TorchDense(D, name="v_proj")(x)
+
+        if chaos_key is None:
+            chaos_key = self.make_rng("chaos")
+        field = chaos_field(chaos_key, B, L)  # [B, L, 3]
+        chaos_feats = TorchDense(D, name="chaos_proj")(field)  # [B, L, D]
+        gate = jax.nn.sigmoid(
+            TorchDense(1, name="chaos_gate")(chaos_feats)
+        )  # [B, L, 1]
+
+        # fused: q_eff @ k^T == q @ k^T + strength * gate * (chaos @ k^T)
+        q_eff = q + self.chaos_strength * gate * chaos_feats
+
+        split = lambda t: t.reshape(B, L, h, hd).transpose(0, 2, 1, 3)
+        scores = jnp.einsum(
+            "bhid,bhjd->bhij", split(q_eff), split(k),
+            preferred_element_type=jnp.float32,
+        ) / jnp.sqrt(jnp.float32(hd))
+
+        if mask is not None:
+            scores = jnp.where(
+                mask[:, None, None, :] == 0, jnp.float32(-jnp.inf), scores
+            )
+
+        attn = jax.nn.softmax(scores / self.temperature, axis=-1)
+        out = jnp.einsum(
+            "bhij,bhjd->bhid", attn, split(v),
+            preferred_element_type=jnp.float32,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        return TorchDense(D, name="out_proj")(out)

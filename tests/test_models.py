@@ -1,0 +1,210 @@
+"""Model tests: forward-dict shape contract (reference
+smokephys_net.py:124-132), chaos-field determinism under fixed keys
+(SURVEY.md §4), fused-attention algebraic equivalence, regularizer golden
+parity, and gradient flow."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smokephysai_tpu.models import SmokePhysNet, physics_losses
+from smokephysai_tpu.models.chaos_attention import (
+    ChaosAttention,
+    chaos_field,
+    lorenz_trajectory,
+)
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+@pytest.fixture(scope="module")
+def tiny_model_and_vars():
+    model = SmokePhysNet(
+        input_dim=32, hidden_dim=64, num_layers=2, num_heads=4,
+        output_channels=16, chaos_strength=0.1,
+    )
+    x = jnp.zeros((2, 128, 128, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "chaos": jax.random.PRNGKey(1)},
+        x,
+        train=False,
+    )
+    return model, variables
+
+
+class TestChaosField:
+    def test_lorenz_shape_and_determinism(self):
+        key = jax.random.PRNGKey(42)
+        t1 = lorenz_trajectory(key, 3)
+        t2 = lorenz_trajectory(key, 3)
+        assert t1.shape == (3, 5, 3)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+    def test_lorenz_euler_step_semantics(self):
+        """One Euler step must match the closed-form Lorenz update
+        (reference chaos_attention.py:39-45)."""
+        key = jax.random.PRNGKey(0)
+        init = 0.1 * jax.random.normal(key, (1, 3))
+        x, y, z = (float(init[0, i]) for i in range(3))
+        t = lorenz_trajectory(key, 1)
+        dt = 0.01
+        x1 = x + dt * 10.0 * (y - x)
+        y1 = y + dt * (x * (28.0 - z) - y)
+        z1 = z + dt * (x * y - (8.0 / 3.0) * z)
+        np.testing.assert_allclose(
+            np.asarray(t[0, 0]), [x1, y1, z1], rtol=1e-5
+        )
+
+    def test_field_tiling(self):
+        """Tile-repeat to seq_len (reference chaos_attention.py:61-66)."""
+        f = chaos_field(jax.random.PRNGKey(1), 2, 12)
+        assert f.shape == (2, 12, 3)
+        np.testing.assert_array_equal(np.asarray(f[:, :5]), np.asarray(f[:, 5:10]))
+        np.testing.assert_array_equal(np.asarray(f[:, 10:12]), np.asarray(f[:, :2]))
+
+    def test_different_keys_differ(self):
+        f1 = chaos_field(jax.random.PRNGKey(1), 2, 10)
+        f2 = chaos_field(jax.random.PRNGKey(2), 2, 10)
+        assert not np.allclose(np.asarray(f1), np.asarray(f2))
+
+
+class TestChaosAttention:
+    def test_fused_equals_reference_two_matmul_form(self):
+        """The fused (q + s*g*c) @ k^T must equal the reference's
+        q@k^T + s*g*(c@k^T) combination (chaos_attention.py:82-100)."""
+        dim, heads, B, L = 32, 4, 2, 9
+        attn = ChaosAttention(dim, heads, chaos_strength=0.3)
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, L, dim))
+        variables = attn.init(
+            {"params": jax.random.PRNGKey(1), "chaos": jax.random.PRNGKey(2)}, x
+        )
+        out_fused = attn.apply(variables, x, chaos_key=jax.random.PRNGKey(3))
+
+        # hand-computed reference combination with the same params/field
+        p = variables["params"]
+        dense = lambda name, t: t @ p[name]["kernel"] + p[name]["bias"]
+        q, k, v = dense("q_proj", x), dense("k_proj", x), dense("v_proj", x)
+        field = chaos_field(jax.random.PRNGKey(3), B, L)
+        cf = dense("chaos_proj", field)
+        gate = jax.nn.sigmoid(dense("chaos_gate", cf))  # [B, L, 1]
+        hd = dim // heads
+        split = lambda t: t.reshape(B, L, heads, hd).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhid,bhjd->bhij", split(q), split(k)) / np.sqrt(hd)
+        cscores = jnp.einsum("bhid,bhjd->bhij", split(cf), split(k)) / np.sqrt(hd)
+        final = scores + 0.3 * cscores * gate[:, None, :, :]
+        w = jax.nn.softmax(final, axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", w, split(v))
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, dim)
+        out_ref = dense("out_proj", out)
+
+        np.testing.assert_allclose(
+            np.asarray(out_fused), np.asarray(out_ref), atol=1e-5
+        )
+
+
+class TestSmokePhysNet:
+    def test_forward_dict_contract(self, tiny_model_and_vars):
+        model, variables = tiny_model_and_vars
+        x = jax.random.uniform(jax.random.PRNGKey(3), (2, 128, 128, 1))
+        out = model.apply(
+            variables, x, train=False, rngs={"chaos": jax.random.PRNGKey(4)}
+        )
+        assert set(out) == {"reconstructed", "physics_features", "latent_features"}
+        assert out["reconstructed"].shape == (2, 128, 128, 1)
+        assert out["physics_features"].shape == (2, 3)
+        assert out["latent_features"].shape == (2, 64)
+        assert float(out["reconstructed"].min()) >= 0.0
+        assert float(out["reconstructed"].max()) <= 1.0
+
+    def test_return_features(self, tiny_model_and_vars):
+        model, variables = tiny_model_and_vars
+        x = jnp.zeros((1, 128, 128, 1))
+        out = model.apply(
+            variables, x, train=False, return_features=True,
+            rngs={"chaos": jax.random.PRNGKey(4)},
+        )
+        assert out["intermediate_features"].shape == (1, 1024, 64)
+
+    def test_eval_deterministic_with_fixed_key(self, tiny_model_and_vars):
+        model, variables = tiny_model_and_vars
+        x = jax.random.uniform(jax.random.PRNGKey(5), (1, 128, 128, 1))
+        o1 = model.apply(variables, x, rngs={"chaos": jax.random.PRNGKey(7)})
+        o2 = model.apply(variables, x, rngs={"chaos": jax.random.PRNGKey(7)})
+        np.testing.assert_array_equal(
+            np.asarray(o1["reconstructed"]), np.asarray(o2["reconstructed"])
+        )
+
+    def test_train_mode_updates_batch_stats(self, tiny_model_and_vars):
+        model, variables = tiny_model_and_vars
+        x = jax.random.uniform(jax.random.PRNGKey(6), (2, 128, 128, 1))
+        out, mutated = model.apply(
+            variables,
+            x,
+            train=True,
+            rngs={"chaos": jax.random.PRNGKey(8), "dropout": jax.random.PRNGKey(9)},
+            mutable=["batch_stats"],
+        )
+        before = variables["batch_stats"]["enc_bn1"]["BatchNorm_0"]["mean"]
+        after = mutated["batch_stats"]["enc_bn1"]["BatchNorm_0"]["mean"]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+    def test_gradients_flow_to_all_params(self, tiny_model_and_vars):
+        model, variables = tiny_model_and_vars
+        x = jax.random.uniform(jax.random.PRNGKey(10), (2, 128, 128, 1))
+        y = jax.random.uniform(jax.random.PRNGKey(11), (2, 128, 128, 1))
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x,
+                train=True,
+                rngs={
+                    "chaos": jax.random.PRNGKey(12),
+                    "dropout": jax.random.PRNGKey(13),
+                },
+                mutable=["batch_stats"],
+            )[0]
+            return jnp.mean((out["reconstructed"] - y) ** 2) + jnp.mean(
+                out["physics_features"] ** 2
+            )
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves_with_path(grads)
+        zero = [
+            jax.tree_util.keystr(pth)
+            for pth, g in leaves
+            if float(jnp.max(jnp.abs(g))) == 0.0
+        ]
+        assert zero == [], f"dead gradients: {zero}"
+
+
+class TestRegularizer:
+    def test_golden_parity(self):
+        g = np.load(os.path.join(GOLDENS, "regularizer.npz"))
+        out = physics_losses(
+            {
+                "density": jnp.asarray(g["dens_p"]),
+                "density_sequence": jnp.asarray(g["seq"]),
+                "velocity": jnp.asarray(g["vel"]),
+            },
+            {"density": jnp.asarray(g["dens_t"])},
+            conservation_weight=1.0,
+            continuity_weight=1.0,
+            energy_weight=0.5,
+        )
+        for key in (
+            "mass_conservation",
+            "continuity",
+            "energy_conservation",
+            "divergence",
+            "total_physics_loss",
+        ):
+            np.testing.assert_allclose(
+                float(out[key]), float(g[key]), rtol=1e-5, err_msg=key
+            )
+
+    def test_missing_keys_skip_terms(self):
+        out = physics_losses({"density_sequence": jnp.ones((1, 3, 4, 4))})
+        assert set(out) == {"continuity", "total_physics_loss"}
