@@ -1,0 +1,243 @@
+"""Synthetic smoke dataset: on-device batched episode generation.
+
+Re-design of reference src/utils/data_loader.py:10-184. The reference
+generates 800+200 episodes *serially* in Python, each stepping the simulator
+20 times eagerly with a fresh 100-iteration Mandelbrot per step (SURVEY.md
+§3.1 hot path). Here a whole chunk of episodes runs as ONE jitted program:
+`vmap(simulate_episode)` — scan over time inside, vmap over episodes
+outside — so the TPU sees a single fused batch-of-simulations kernel.
+
+Source randomisation matches the reference's distributions
+(data_loader.py:49-60): 1-3 sources (inactive slots masked, keeping shapes
+static), positions uniform over [20, size-20), intensity U(0.5, 2.0).
+The cache is a .npz of arrays instead of a pickle of torch tensors
+(SURVEY.md §5 checkpoint/resume: 'array-native cache instead of pickle').
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smokephysai_tpu.physics.simulator import simulate_episode
+
+Array = jnp.ndarray
+
+MAX_SOURCES = 3  # reference data_loader.py:49 randint(1, 4)
+SOURCE_MARGIN = 20  # reference data_loader.py:54-55
+INTENSITY_RANGE = (0.5, 2.0)  # reference data_loader.py:56
+FRAME_RANGE = (5, -5)  # reference data_loader.py:108 randint(5, T-5)
+
+
+def sample_source_params(
+    key: Array, num_samples: int, grid_size: Tuple[int, int]
+) -> Dict[str, Array]:
+    """Random source configurations, distribution-matched to
+    reference data_loader.py:49-60 (jax.random instead of np.random)."""
+    h, w = grid_size
+    k_n, k_x, k_y, k_i = jax.random.split(key, 4)
+    num_sources = jax.random.randint(k_n, (num_samples,), 1, MAX_SOURCES + 1)
+    xs = jax.random.randint(
+        k_x, (num_samples, MAX_SOURCES), SOURCE_MARGIN, w - SOURCE_MARGIN
+    ).astype(jnp.float32)
+    ys = jax.random.randint(
+        k_y, (num_samples, MAX_SOURCES), SOURCE_MARGIN, h - SOURCE_MARGIN
+    ).astype(jnp.float32)
+    intensity = jax.random.uniform(
+        k_i, (num_samples, MAX_SOURCES), minval=INTENSITY_RANGE[0],
+        maxval=INTENSITY_RANGE[1],
+    )
+    active = (
+        jnp.arange(MAX_SOURCES)[None, :] < num_sources[:, None]
+    ).astype(jnp.float32)
+    return {
+        "xy": jnp.stack([xs, ys], axis=-1),  # [N, 3, 2] (x, y)
+        "intensity": intensity,
+        "active": active,
+    }
+
+
+def generate_dataset(
+    key: Array,
+    num_samples: int,
+    grid_size: Tuple[int, int] = (128, 128),
+    sequence_length: int = 20,
+    dt: float = 0.01,
+    viscosity: float = 0.001,
+    chunk_size: int = 64,
+    use_pallas: bool = False,
+    vorticity_eps: float = 0.0,
+) -> Dict[str, np.ndarray]:
+    """Generate `num_samples` episodes in vmapped chunks. Returns host
+    arrays {sequences [N,T,H,W], chaos [N,3], source params}."""
+    params = sample_source_params(key, num_samples, grid_size)
+
+    episode = jax.jit(
+        jax.vmap(
+            lambda xy, inten, act: simulate_episode(
+                xy,
+                inten,
+                act,
+                grid_size=tuple(grid_size),
+                num_steps=sequence_length,
+                dt=dt,
+                viscosity=viscosity,
+                use_pallas=use_pallas,
+                vorticity_eps=vorticity_eps,
+            )
+        )
+    )
+
+    seqs, labels = [], []
+    for start in range(0, num_samples, chunk_size):
+        end = min(start + chunk_size, num_samples)
+        s, l = episode(
+            params["xy"][start:end],
+            params["intensity"][start:end],
+            params["active"][start:end],
+        )
+        seqs.append(np.asarray(s))
+        labels.append(np.asarray(l))
+
+    return {
+        "sequences": np.concatenate(seqs),
+        "chaos": np.concatenate(labels),
+        "source_xy": np.asarray(params["xy"]),
+        "source_intensity": np.asarray(params["intensity"]),
+        "source_active": np.asarray(params["active"]),
+    }
+
+
+class SyntheticSmokeDataset:
+    """Array-backed dataset with the reference's sampling semantics
+    (reference data_loader.py:10-123): a sample is a random frame t in
+    [5, T-5) as input, frame t+1 as target, the episode-averaged chaos
+    label, and the full sequence (for the continuity loss, train.py:77)."""
+
+    def __init__(
+        self,
+        num_samples: int = 1000,
+        grid_size: Tuple[int, int] = (128, 128),
+        sequence_length: int = 20,
+        cache_path: Optional[str] = None,
+        seed: int = 0,
+        use_pallas: bool = False,
+        vorticity_eps: float = 0.0,
+    ):
+        self.num_samples = num_samples
+        self.grid_size = tuple(grid_size)
+        self.sequence_length = sequence_length
+
+        if cache_path and os.path.exists(cache_path):
+            with np.load(cache_path) as f:
+                self.data = {k: f[k] for k in f.files}
+            print(f"Loaded synthetic data from {cache_path}")
+        else:
+            self.data = generate_dataset(
+                jax.random.PRNGKey(seed),
+                num_samples,
+                self.grid_size,
+                sequence_length,
+                use_pallas=use_pallas,
+                vorticity_eps=vorticity_eps,
+            )
+            if cache_path:
+                os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+                np.savez(cache_path, **self.data)
+                print(f"Saved synthetic data to {cache_path}")
+
+        # device-resident copies for zero-copy batch assembly
+        self._sequences = jnp.asarray(self.data["sequences"])
+        self._chaos = jnp.asarray(self.data["chaos"])
+
+    def __len__(self) -> int:
+        return self._sequences.shape[0]
+
+    def get_batch(self, sample_idx: Array, frame_idx: Array) -> Dict[str, Array]:
+        """Assemble a batch on-device from episode + frame indices.
+        input/target are NHWC [B, H, W, 1]."""
+        seqs = self._sequences[sample_idx]  # [B, T, H, W]
+        B = seqs.shape[0]
+        inp = jnp.take_along_axis(
+            seqs, frame_idx[:, None, None, None], axis=1
+        )[:, 0, :, :, None]
+        tgt = jnp.take_along_axis(
+            seqs, (frame_idx + 1)[:, None, None, None], axis=1
+        )[:, 0, :, :, None]
+        return {
+            "input": inp,
+            "target": tgt,
+            "chaos_features": self._chaos[sample_idx],
+            "sequence": seqs,
+        }
+
+    def sample_batch(self, key: Array, batch_size: int) -> Dict[str, Array]:
+        """Random batch: episodes with replacement-free shuffle positions +
+        random frame index per sample (reference __getitem__ semantics,
+        data_loader.py:104-123)."""
+        k1, k2 = jax.random.split(key)
+        sample_idx = jax.random.randint(k1, (batch_size,), 0, len(self))
+        frame_idx = jax.random.randint(
+            k2, (batch_size,), FRAME_RANGE[0], self.sequence_length + FRAME_RANGE[1]
+        )
+        return self.get_batch(sample_idx, frame_idx)
+
+    def epoch_batches(
+        self, key: Array, batch_size: int, shuffle: bool = True
+    ) -> Iterator[Dict[str, Array]]:
+        """One pass over all episodes in batches (train: shuffled;
+        val: in order, like the reference loaders data_loader.py:168-182).
+        The trailing partial batch is dropped when shuffling (fixed shapes
+        under jit) and kept for validation."""
+        n = len(self)
+        k_perm, k_frames = jax.random.split(key)
+        order = (
+            jax.random.permutation(k_perm, n) if shuffle else jnp.arange(n)
+        )
+        frames = jax.random.randint(
+            k_frames, (n,), FRAME_RANGE[0], self.sequence_length + FRAME_RANGE[1]
+        )
+        num_full = n // batch_size
+        for b in range(num_full):
+            idx = order[b * batch_size : (b + 1) * batch_size]
+            yield self.get_batch(idx, frames[idx])
+        if not shuffle and n % batch_size:
+            idx = order[num_full * batch_size :]
+            yield self.get_batch(idx, frames[idx])
+
+
+def create_data_loaders(
+    batch_size: int = 16,
+    num_train: int = 800,
+    num_val: int = 200,
+    grid_size: Tuple[int, int] = (128, 128),
+    cache_dir: Optional[str] = None,
+    sequence_length: int = 20,
+    seed: int = 0,
+    use_pallas: bool = False,
+) -> Tuple[SyntheticSmokeDataset, SyntheticSmokeDataset]:
+    """Train/val datasets with npz caching (reference
+    data_loader.py:126-184; no worker processes needed — generation is one
+    jitted program on the accelerator)."""
+    train_cache = os.path.join(cache_dir, "train_data.npz") if cache_dir else None
+    val_cache = os.path.join(cache_dir, "val_data.npz") if cache_dir else None
+    train = SyntheticSmokeDataset(
+        num_samples=num_train,
+        grid_size=grid_size,
+        sequence_length=sequence_length,
+        cache_path=train_cache,
+        seed=seed,
+        use_pallas=use_pallas,
+    )
+    val = SyntheticSmokeDataset(
+        num_samples=num_val,
+        grid_size=grid_size,
+        sequence_length=sequence_length,
+        cache_path=val_cache,
+        seed=seed + 1,
+        use_pallas=use_pallas,
+    )
+    return train, val

@@ -128,6 +128,14 @@ class SmokePhysNet(nn.Module):
         img = jax.nn.relu(bn("up_bn2")(img))
         img = TorchConv(1, (3, 3), padding=1, name="recon_out")(img)
         reconstructed = jax.nn.sigmoid(img)
+        # The reference's head always emits 4x the fixed 32x32 token grid =
+        # 128x128 and crashes on any other input size (smokephys_net.py:117-118
+        # vs the loss in train.py:69). Documented divergence: we resize to the
+        # input resolution so 64^2/256^2 grids (BASELINE.json configs) work;
+        # at the reference's 128^2 this is a no-op.
+        in_hw = (x.shape[1], x.shape[2])
+        if reconstructed.shape[1:3] != in_hw:
+            reconstructed = interpolate_bilinear(reconstructed, in_hw)
 
         # 6. physics head on mean-pooled tokens (smokephys_net.py:69-73, :121-122)
         pooled = jnp.mean(feats, axis=1)

@@ -1,0 +1,72 @@
+"""YAML config loading with the reference's schema
+(reference config/config.yaml:1-37, loaded via yaml.safe_load in
+train.py:19-23). Adds a defaults layer the reference lacks (plain dict
+indexing there), so partial configs and new TPU-specific keys degrade
+gracefully."""
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict
+
+import yaml
+
+DEFAULTS: Dict[str, Any] = {
+    "data": {
+        "grid_size": [128, 128],
+        "sequence_length": 20,
+        "num_train": 800,
+        "num_val": 200,
+        "cache_dir": "./cache",
+    },
+    "model": {
+        "input_dim": 128,
+        "hidden_dim": 512,
+        "num_layers": 6,
+        "num_heads": 8,
+        "output_channels": 64,
+        "chaos_strength": 0.1,
+    },
+    "physics": {
+        "conservation_weight": 1.0,
+        "continuity_weight": 1.0,
+        "energy_weight": 0.5,
+    },
+    "training": {
+        "batch_size": 8,
+        "num_epochs": 100,
+        "learning_rate": 0.001,
+        "weight_decay": 0.01,
+    },
+    "simulation": {
+        "dt": 0.01,
+        "viscosity": 0.001,
+        "grid_size": [128, 128],
+    },
+    # TPU-native extensions (absent in the reference schema)
+    "tpu": {
+        "use_pallas": True,
+        "seed": 0,
+        "data_axis": 1,       # data-parallel mesh extent (1 = single chip)
+        "model_axis": 1,      # tensor-parallel mesh extent
+        "vorticity_eps": 0.0,
+    },
+}
+
+
+def _merge(base: dict, override: dict) -> dict:
+    out = copy.deepcopy(base)
+    for k, v in (override or {}).items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def load_config(config_path: str | None = None) -> Dict[str, Any]:
+    """Load YAML config merged over defaults (reference train.py:19-23)."""
+    if config_path is None:
+        return copy.deepcopy(DEFAULTS)
+    with open(config_path) as f:
+        user = yaml.safe_load(f) or {}
+    return _merge(DEFAULTS, user)

@@ -1,0 +1,186 @@
+"""Data pipeline + training loop tests (reference semantics:
+data_loader.py sampling, train.py loss/optimiser; SURVEY.md §4)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smokephysai_tpu.data import SyntheticSmokeDataset, sample_source_params
+from smokephysai_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from smokephysai_tpu.train.loop import (
+    cosine_epoch_schedule,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from smokephysai_tpu.train import metrics as M
+
+TINY_CONFIG = {
+    "data": {"grid_size": [64, 64], "sequence_length": 20},
+    "model": {
+        "input_dim": 32,
+        "hidden_dim": 64,
+        "num_layers": 1,
+        "num_heads": 4,
+        "output_channels": 16,
+        "chaos_strength": 0.1,
+    },
+    "physics": {
+        "conservation_weight": 1.0,
+        "continuity_weight": 1.0,
+        "energy_weight": 0.5,
+    },
+    "training": {
+        "batch_size": 2,
+        "num_epochs": 4,
+        "learning_rate": 1e-3,
+        "weight_decay": 0.01,
+    },
+    "tpu": {"seed": 0},
+}
+
+
+@pytest.fixture(scope="module")
+def tiny_ds():
+    return SyntheticSmokeDataset(
+        num_samples=6, grid_size=(64, 64), sequence_length=20, seed=0
+    )
+
+
+class TestSourceSampling:
+    def test_distributions(self):
+        p = sample_source_params(jax.random.PRNGKey(0), 500, (128, 128))
+        xy = np.asarray(p["xy"])
+        active = np.asarray(p["active"])
+        inten = np.asarray(p["intensity"])
+        assert xy.min() >= 20 and xy.max() < 108  # margins (data_loader.py:54-55)
+        assert inten.min() >= 0.5 and inten.max() <= 2.0
+        counts = active.sum(axis=1)
+        assert set(np.unique(counts)) == {1.0, 2.0, 3.0}
+        # mask is a prefix: active slots come first
+        assert np.all(np.diff(active, axis=1) <= 0)
+
+
+class TestDataset:
+    def test_shapes_and_batching(self, tiny_ds):
+        assert len(tiny_ds) == 6
+        batch = tiny_ds.sample_batch(jax.random.PRNGKey(1), 4)
+        assert batch["input"].shape == (4, 64, 64, 1)
+        assert batch["target"].shape == (4, 64, 64, 1)
+        assert batch["chaos_features"].shape == (4, 3)
+        assert batch["sequence"].shape == (4, 20, 64, 64)
+
+    def test_target_is_next_frame(self, tiny_ds):
+        idx = jnp.array([0, 1])
+        frames = jnp.array([5, 7])
+        b = tiny_ds.get_batch(idx, frames)
+        np.testing.assert_array_equal(
+            np.asarray(b["input"][0, :, :, 0]),
+            np.asarray(tiny_ds._sequences[0, 5]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(b["target"][1, :, :, 0]),
+            np.asarray(tiny_ds._sequences[1, 8]),
+        )
+
+    def test_epoch_batches_counts(self, tiny_ds):
+        train_batches = list(
+            tiny_ds.epoch_batches(jax.random.PRNGKey(2), 4, shuffle=True)
+        )
+        assert len(train_batches) == 1  # 6//4, partial dropped when shuffled
+        val_batches = list(
+            tiny_ds.epoch_batches(jax.random.PRNGKey(2), 4, shuffle=False)
+        )
+        assert len(val_batches) == 2  # partial kept for validation
+        assert val_batches[1]["input"].shape[0] == 2
+
+    def test_cache_roundtrip(self, tmp_path):
+        cache = str(tmp_path / "cache.npz")
+        ds1 = SyntheticSmokeDataset(
+            num_samples=2, grid_size=(32, 32), cache_path=cache, seed=3
+        )
+        assert os.path.exists(cache)
+        ds2 = SyntheticSmokeDataset(
+            num_samples=2, grid_size=(32, 32), cache_path=cache, seed=999
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ds1._sequences), np.asarray(ds2._sequences)
+        )
+
+
+class TestTraining:
+    def test_cosine_schedule_matches_torch_semantics(self):
+        sched = cosine_epoch_schedule(1e-3, 10, steps_per_epoch=5)
+        assert float(sched(0)) == pytest.approx(1e-3)  # epoch 0: base lr
+        assert float(sched(4)) == pytest.approx(1e-3)  # still epoch 0
+        assert float(sched(5)) == pytest.approx(
+            1e-3 * 0.5 * (1 + np.cos(np.pi / 10))
+        )
+        assert float(sched(50)) == pytest.approx(0.0, abs=1e-9)
+
+    def test_train_steps_reduce_loss(self, tiny_ds):
+        state = create_train_state(
+            TINY_CONFIG, jax.random.PRNGKey(0), steps_per_epoch=3
+        )
+        tstep = make_train_step(TINY_CONFIG["physics"])
+        batch = tiny_ds.sample_batch(jax.random.PRNGKey(5), 2)
+        losses = []
+        for i in range(8):
+            state, m = tstep(state, batch, jax.random.PRNGKey(6))
+            losses.append(float(m["total_loss"]))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 8
+
+    def test_eval_step_runs(self, tiny_ds):
+        state = create_train_state(
+            TINY_CONFIG, jax.random.PRNGKey(0), steps_per_epoch=3
+        )
+        estep = make_eval_step(TINY_CONFIG["physics"])
+        batch = tiny_ds.sample_batch(jax.random.PRNGKey(5), 2)
+        m = estep(state, batch, jax.random.PRNGKey(7))
+        assert np.isfinite(float(m["total_loss"]))
+
+    def test_checkpoint_roundtrip(self, tiny_ds, tmp_path):
+        state = create_train_state(
+            TINY_CONFIG, jax.random.PRNGKey(0), steps_per_epoch=3
+        )
+        tstep = make_train_step(TINY_CONFIG["physics"])
+        batch = tiny_ds.sample_batch(jax.random.PRNGKey(5), 2)
+        state, _ = tstep(state, batch, jax.random.PRNGKey(6))
+
+        save_checkpoint(str(tmp_path), state, {"epoch": 0, "val_loss": 1.0})
+        fresh = create_train_state(
+            TINY_CONFIG, jax.random.PRNGKey(99), steps_per_epoch=3
+        )
+        restored, meta = restore_checkpoint(str(tmp_path), fresh)
+        assert meta["epoch"] == 0
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            state.params,
+            restored.params,
+        )
+        assert int(restored.step) == 1
+
+
+class TestMetrics:
+    def test_ssim_identical_is_one(self):
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 1))
+        assert float(M.ssim(x, x)) == pytest.approx(1.0, abs=1e-3)
+
+    def test_psnr_and_mse(self):
+        x = jnp.zeros((1, 8, 8, 1))
+        y = jnp.full((1, 8, 8, 1), 0.1)
+        assert float(M.mse(x, y)) == pytest.approx(0.01)
+        assert float(M.psnr(x, y)) == pytest.approx(20.0, abs=1e-3)
+
+    def test_pearson_matches_scipy(self):
+        from scipy.stats import pearsonr
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(5, 3)).astype(np.float32)
+        b = rng.normal(size=(5, 3)).astype(np.float32)
+        ours = np.asarray(M.pearson_per_sample(jnp.asarray(a), jnp.asarray(b)))
+        for i in range(5):
+            assert ours[i] == pytest.approx(pearsonr(a[i], b[i])[0], abs=1e-5)
