@@ -71,11 +71,16 @@ def fractal_field(
 ) -> Array:
     """Cached 0.7*perlin + 0.3*mandelbrot blend
     (reference fractal_generator.py:53-59). Input-independent, so computed
-    once per grid size instead of once per step."""
-    field = 0.7 * perlin_noise(shape, scale) + 0.3 * mandelbrot_field(
-        shape, iterations
-    )
-    return jax.device_get(field)  # concrete host constant; folds into jit consts
+    once per grid size instead of once per step.
+
+    Evaluated eagerly even when first called under a jit trace
+    (ensure_compile_time_eval), so the cache always holds a concrete host
+    constant that folds into downstream compilations."""
+    with jax.ensure_compile_time_eval():
+        field = 0.7 * perlin_noise(shape, scale) + 0.3 * mandelbrot_field(
+            shape, iterations
+        )
+        return jax.device_get(field)
 
 
 def apply_fractal_perturbation(

@@ -1,0 +1,59 @@
+"""Inference-side model loading and a fused predict function.
+
+The reference reloads the torch checkpoint and runs batch-1 eager forwards
+per frame — the 610.92 ms/frame hot path (reference inference.py:52-73,
+SURVEY.md §3.2). Here loading returns a jitted batched predictor with a
+fixed chaos key (deterministic eval, SURVEY.md §7 nondeterminism policy);
+frames never leave the device between simulation and model.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from smokephysai_tpu.models import SmokePhysNet
+
+Array = jnp.ndarray
+
+
+def build_model(config: Dict, bn_axis_name: str | None = None) -> SmokePhysNet:
+    mc = config["model"]
+    return SmokePhysNet(
+        input_dim=mc["input_dim"],
+        hidden_dim=mc["hidden_dim"],
+        num_layers=mc["num_layers"],
+        num_heads=mc["num_heads"],
+        output_channels=mc.get("output_channels", 64),
+        chaos_strength=mc["chaos_strength"],
+        bn_axis_name=bn_axis_name,
+    )
+
+
+def load_model(
+    config: Dict, checkpoint_path: str
+) -> Tuple[SmokePhysNet, Dict]:
+    """Restore {params, batch_stats} from an Orbax checkpoint
+    (counterpart of reference inference.py:20-33)."""
+    from .checkpoint import restore_checkpoint
+    from .loop import create_train_state
+
+    template = create_train_state(config, jax.random.PRNGKey(0), 1)
+    state, _ = restore_checkpoint(checkpoint_path, template)
+    model = build_model(config)
+    return model, {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def make_predictor(
+    model: SmokePhysNet, variables: Dict, chaos_seed: int = 0
+) -> Callable[[Array], Dict[str, Array]]:
+    """Jitted batched forward with a fixed chaos key. Input NHWC
+    [B, H, W, 1] -> dict {reconstructed, physics_features, latent_features}."""
+    key = jax.random.PRNGKey(chaos_seed)
+
+    @jax.jit
+    def predict(x: Array) -> Dict[str, Array]:
+        return model.apply(variables, x, train=False, rngs={"chaos": key})
+
+    return predict

@@ -1,0 +1,128 @@
+"""End-to-end slice test (SURVEY.md §7 'minimum end-to-end slice'):
+generate data -> fit 2 epochs -> checkpoint -> reload for serving ->
+benchmark-style eval incl. CV baselines."""
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from smokephysai_tpu.data import SyntheticSmokeDataset
+from smokephysai_tpu.train.loop import fit
+from smokephysai_tpu.train.serving import load_model, make_predictor
+
+CONFIG = {
+    "data": {"grid_size": [64, 64], "sequence_length": 20,
+             "num_train": 4, "num_val": 2, "cache_dir": None},
+    "model": {
+        "input_dim": 32,
+        "hidden_dim": 64,
+        "num_layers": 1,
+        "num_heads": 4,
+        "output_channels": 16,
+        "chaos_strength": 0.1,
+    },
+    "physics": {
+        "conservation_weight": 1.0,
+        "continuity_weight": 1.0,
+        "energy_weight": 0.5,
+    },
+    "training": {
+        "batch_size": 2,
+        "num_epochs": 2,
+        "learning_rate": 1e-3,
+        "weight_decay": 0.01,
+    },
+    "simulation": {"dt": 0.01, "viscosity": 0.001, "grid_size": [64, 64]},
+    "tpu": {"seed": 0, "use_pallas": False},
+}
+
+
+@pytest.fixture(scope="module")
+def trained_exp_dir(tmp_path_factory):
+    exp_dir = str(tmp_path_factory.mktemp("exp"))
+    train_ds = SyntheticSmokeDataset(
+        num_samples=4, grid_size=(64, 64), sequence_length=20, seed=0
+    )
+    val_ds = SyntheticSmokeDataset(
+        num_samples=2, grid_size=(64, 64), sequence_length=20, seed=1
+    )
+    fit(CONFIG, train_ds, val_ds, exp_dir, writer=None, print_fn=lambda *a: None)
+    return exp_dir, val_ds
+
+
+def test_fit_saves_checkpoint(trained_exp_dir):
+    exp_dir, _ = trained_exp_dir
+    assert os.path.isdir(os.path.join(exp_dir, "best_model"))
+    assert os.path.exists(os.path.join(exp_dir, "meta.json"))
+
+
+def test_resume_from_checkpoint(trained_exp_dir):
+    exp_dir, val_ds = trained_exp_dir
+    train_ds = SyntheticSmokeDataset(
+        num_samples=4, grid_size=(64, 64), sequence_length=20, seed=0
+    )
+    cfg = {**CONFIG, "training": {**CONFIG["training"], "num_epochs": 3}}
+    state = fit(
+        cfg, train_ds, val_ds, exp_dir, writer=None,
+        resume_from=exp_dir, print_fn=lambda *a: None,
+    )
+    assert int(state.epoch) >= 1
+
+
+def test_serving_reload_and_predict(trained_exp_dir):
+    exp_dir, val_ds = trained_exp_dir
+    model, variables = load_model(CONFIG, exp_dir)
+    predict = make_predictor(model, variables)
+    batch = val_ds.sample_batch(jax.random.PRNGKey(0), 2)
+    out = predict(batch["input"])
+    assert out["reconstructed"].shape == (2, 64, 64, 1)
+    assert np.isfinite(np.asarray(out["reconstructed"])).all()
+    # determinism: fixed chaos key -> identical predictions
+    out2 = predict(batch["input"])
+    np.testing.assert_array_equal(
+        np.asarray(out["reconstructed"]), np.asarray(out2["reconstructed"])
+    )
+
+
+def test_benchmark_protocol(trained_exp_dir):
+    exp_dir, val_ds = trained_exp_dir
+    import benchmark as bench_cli
+
+    model, variables = load_model(CONFIG, exp_dir)
+    predict = make_predictor(model, variables)
+    batches = list(val_ds.epoch_batches(jax.random.PRNGKey(0), 2, shuffle=False))
+    mres = bench_cli.evaluate_model(predict, batches)
+    assert set(mres) == {"mse", "physics_correlation", "inference_time"}
+    assert np.isfinite(mres["mse"])
+
+    cvres = bench_cli.evaluate_traditional_cv(batches)
+    assert "Farneback" in cvres and "Lucas-Kanade" in cvres
+    assert np.isfinite(cvres["Farneback"]["mse"])
+    bench_cli.print_results(mres, cvres)  # table renders without error
+
+
+def test_inference_visualization(trained_exp_dir, tmp_path, monkeypatch):
+    exp_dir, _ = trained_exp_dir
+    monkeypatch.chdir(tmp_path)
+    from smokephysai_tpu.physics.simulator import SmokeSimulator
+    from smokephysai_tpu.utils.visualization import SmokeVisualizer
+    import inference as inf_cli
+
+    sim = SmokeSimulator(grid_size=(64, 64))
+    sim.add_incense_source([(32, 32)], [1.0])
+    seq = [np.asarray(sim.simulate_step()) for _ in range(4)]
+
+    viz = SmokeVisualizer()
+    viz.plot_smoke_evolution(seq, save_path=str(tmp_path / "evo.png"))
+    viz.plot_chaos_features(
+        {"lyapunov_exponent": [0.1, 0.2], "fractal_dimension": [1.1, 1.2],
+         "entropy": [0.5, 0.6]},
+        save_path=str(tmp_path / "chaos.png"),
+    )
+    assert (tmp_path / "evo.png").exists()
+    assert (tmp_path / "chaos.png").exists()
+    assert inf_cli.TEST_POSITIONS == [(64, 64), (32, 32), (96, 96)]

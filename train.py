@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""SmokePhysAI-TPU training CLI.
+
+Flag/flow parity with reference train.py:182-280 (--config/--resume, YAML
+config, experiments/smokephys_<ts> dir, TensorBoard scalars, best-val
+checkpoint) — with a working --resume and a jitted training loop.
+"""
+import argparse
+import os
+from datetime import datetime
+
+
+def main():
+    parser = argparse.ArgumentParser(description="SmokePhysAI-TPU Training")
+    parser.add_argument(
+        "--config", type=str, default="config/config.yaml",
+        help="Path to config file",
+    )
+    parser.add_argument(
+        "--resume", type=str, default=None,
+        help="Path to experiment dir or checkpoint to resume from",
+    )
+    args = parser.parse_args()
+
+    from smokephysai_tpu.utils.config import load_config
+    from smokephysai_tpu.data import create_data_loaders
+    from smokephysai_tpu.train.loop import fit
+
+    config = load_config(args.config)
+
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    exp_dir = os.path.join("experiments", f"smokephys_{timestamp}")
+    os.makedirs(exp_dir, exist_ok=True)
+
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(exp_dir, "logs"))
+    except ImportError:  # tensorboard optional
+        writer = None
+
+    import jax
+
+    print(f"Using devices: {jax.devices()}")
+
+    train_ds, val_ds = create_data_loaders(
+        batch_size=config["training"]["batch_size"],
+        num_train=config["data"]["num_train"],
+        num_val=config["data"]["num_val"],
+        grid_size=tuple(config["data"]["grid_size"]),
+        cache_dir=config["data"]["cache_dir"],
+        sequence_length=config["data"]["sequence_length"],
+        seed=config["tpu"]["seed"],
+        use_pallas=config["tpu"]["use_pallas"],
+    )
+
+    fit(
+        config,
+        train_ds,
+        val_ds,
+        exp_dir,
+        writer=writer,
+        resume_from=args.resume,
+    )
+
+    print("Training completed!")
+    if writer is not None:
+        writer.close()
+
+
+if __name__ == "__main__":
+    main()
