@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Headline benchmark: p50 per-frame inference latency of the flagship
+SmokePhysNet on one chip, reference protocol (batch 4, 128x128 frames —
+reference benchmark.py:257-264; baseline 610.92 ms/frame on an RTX 3090,
+README.md:24 / BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "ms", "vs_baseline": speedup,
+   "extra": {...secondary metrics...}}
+
+Secondary metrics in "extra": simulation throughput (steps/sec at 256^2,
+the BASELINE.json tracked metric) for both the XLA and Pallas solver paths.
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_MS_PER_FRAME = 610.92  # reference README.md:24
+BATCH = 4  # reference benchmark.py:263
+
+
+def bench_inference():
+    import jax
+    import jax.numpy as jnp
+
+    from smokephysai_tpu.train.serving import build_model, make_predictor
+
+    config = {
+        "model": {
+            "input_dim": 128,
+            "hidden_dim": 512,
+            "num_layers": 6,
+            "num_heads": 8,
+            "output_channels": 64,
+            "chaos_strength": 0.1,
+        }
+    }
+    model = build_model(config)
+    x = jnp.zeros((BATCH, 128, 128, 1), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "chaos": jax.random.PRNGKey(1)},
+        x, train=False,
+    )
+    predict = make_predictor(model, variables)
+
+    # warm-up / compile
+    jax.block_until_ready(predict(x)["reconstructed"])
+
+    times = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        out = predict(x)
+        jax.block_until_ready(out["reconstructed"])
+        times.append((time.perf_counter() - t0) / BATCH * 1000.0)  # ms/frame
+    return float(np.percentile(times, 50))
+
+
+def bench_sim(grid=256, steps=100, use_pallas=False):
+    import jax
+
+    from smokephysai_tpu.physics import init_state
+    from smokephysai_tpu.physics.solver import multi_step
+
+    state = init_state((grid, grid))
+    # warm-up / compile
+    s, _ = multi_step(state, 5, use_pallas=use_pallas)
+    jax.block_until_ready(s.density)
+
+    t0 = time.perf_counter()
+    s, _ = multi_step(state, steps, use_pallas=use_pallas)
+    jax.block_until_ready(s.density)
+    dt = time.perf_counter() - t0
+    return steps / dt
+
+
+def main():
+    p50_ms = bench_inference()
+    extra = {}
+    try:
+        extra["sim_steps_per_sec_256_xla"] = round(bench_sim(use_pallas=False), 1)
+    except Exception as e:  # pragma: no cover
+        extra["sim_xla_error"] = str(e)[:200]
+    try:
+        extra["sim_steps_per_sec_256_pallas"] = round(bench_sim(use_pallas=True), 1)
+    except Exception as e:  # pragma: no cover
+        extra["sim_pallas_error"] = str(e)[:200]
+
+    print(
+        json.dumps(
+            {
+                "metric": "p50_frame_inference_ms",
+                "value": round(p50_ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS_PER_FRAME / p50_ms, 2),
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

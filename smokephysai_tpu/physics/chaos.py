@@ -129,9 +129,14 @@ def chaos_features_from_sequence(
             t >= LYAPUNOV_WINDOW - 1, lyapunov_exponent(window), 0.0
         )
 
-    # clamp start index so dynamic_slice stays in bounds for t < 19
-    lyaps = jax.vmap(lambda t: lyap_at(jnp.maximum(t, LYAPUNOV_WINDOW - 1)))(ts)
-    lyaps = jnp.where(ts >= LYAPUNOV_WINDOW - 1, lyaps, 0.0)
+    if T < LYAPUNOV_WINDOW:
+        # a 20-frame history never accumulates: lyapunov stays 0
+        # (reference smoke_simulator.py:69-70)
+        lyaps = jnp.zeros_like(ts, dtype=sequence.dtype)
+    else:
+        # clamp start index so dynamic_slice stays in bounds for t < 19
+        lyaps = jax.vmap(lambda t: lyap_at(jnp.maximum(t, LYAPUNOV_WINDOW - 1)))(ts)
+        lyaps = jnp.where(ts >= LYAPUNOV_WINDOW - 1, lyaps, 0.0)
 
     return jnp.concatenate(
         [jnp.mean(lyaps, keepdims=True), jnp.mean(fd_ent, axis=0)]

@@ -1,0 +1,118 @@
+"""Parallelism tests on the 8-virtual-device CPU mesh (SURVEY.md §4
+'distributed tests without a cluster'): halo-exchange numerics vs the
+single-device solver, TP/DP sharded training step, and the driver's
+multichip dryrun."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smokephysai_tpu.parallel.halo import sharded_diffuse, sharded_jacobi
+from smokephysai_tpu.parallel.mesh import make_mesh
+from smokephysai_tpu.parallel.sharding import (
+    param_sharding_specs,
+    shard_batch,
+    shard_params,
+)
+from smokephysai_tpu.physics.solver import diffuse, jacobi_pressure
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def space_mesh():
+    return make_mesh(space=8)
+
+
+class TestHalo:
+    def test_sharded_diffuse_matches_reference(self, space_mesh):
+        f = jax.random.uniform(jax.random.PRNGKey(0), (64, 32))
+        expected = diffuse(f, dt=0.01, viscosity=0.5)
+        got = sharded_diffuse(f, 0.01, 0.5, space_mesh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-6)
+
+    def test_sharded_jacobi_matches_reference(self, space_mesh):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        p0 = jax.random.normal(k1, (64, 32))
+        div = jax.random.normal(k2, (64, 32))
+        expected = jacobi_pressure(p0, div, num_iters=20)
+        got = sharded_jacobi(p0, div, 20, space_mesh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
+
+    def test_sharded_jacobi_zero_boundary(self, space_mesh):
+        p0 = jnp.ones((64, 32))
+        div = jnp.zeros((64, 32))
+        out = np.asarray(sharded_jacobi(p0, div, 5, space_mesh))
+        assert (out[0] == 0).all() and (out[-1] == 0).all()
+        assert (out[:, 0] == 0).all() and (out[:, -1] == 0).all()
+
+
+class TestShardedTraining:
+    def test_param_specs_cover_tp_layers(self):
+        from smokephysai_tpu.train.loop import create_train_state
+
+        config = {
+            "data": {"grid_size": [64, 64]},
+            "model": {
+                "input_dim": 32, "hidden_dim": 64, "num_layers": 1,
+                "num_heads": 4, "output_channels": 16, "chaos_strength": 0.1,
+            },
+            "training": {
+                "batch_size": 4, "num_epochs": 1,
+                "learning_rate": 1e-3, "weight_decay": 0.01,
+            },
+        }
+        state = create_train_state(config, jax.random.PRNGKey(0), 1)
+        specs = param_sharding_specs(state.params)
+        layer = specs["layer_0"]["chaos_attention"]
+        assert layer["q_proj"]["kernel"] == jax.sharding.PartitionSpec(None, "model")
+        assert layer["out_proj"]["kernel"] == jax.sharding.PartitionSpec("model", None)
+        assert specs["feature_proj"]["kernel"] == jax.sharding.PartitionSpec()
+
+    def test_dryrun_multichip_8(self):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
+
+    def test_dp_sharded_step_matches_single_device(self):
+        """The DP+TP sharded train step must produce the same loss as the
+        unsharded step (GSPMD only changes placement, not numerics)."""
+        from smokephysai_tpu.train.loop import create_train_state, make_train_step
+
+        config = {
+            "data": {"grid_size": [64, 64]},
+            "model": {
+                "input_dim": 32, "hidden_dim": 64, "num_layers": 1,
+                "num_heads": 4, "output_channels": 16, "chaos_strength": 0.1,
+            },
+            "physics": {
+                "conservation_weight": 1.0, "continuity_weight": 1.0,
+                "energy_weight": 0.5,
+            },
+            "training": {
+                "batch_size": 8, "num_epochs": 1,
+                "learning_rate": 1e-3, "weight_decay": 0.01,
+            },
+        }
+        state = create_train_state(config, jax.random.PRNGKey(0), 1)
+        key = jax.random.PRNGKey(5)
+        batch = {
+            "input": jax.random.uniform(key, (8, 64, 64, 1)),
+            "target": jax.random.uniform(key, (8, 64, 64, 1)),
+            "chaos_features": jax.random.uniform(key, (8, 3)),
+            "sequence": jax.random.uniform(key, (8, 20, 64, 64)),
+        }
+        tstep = make_train_step(config["physics"])
+        _, m_single = tstep(state, batch, jax.random.PRNGKey(9))
+
+        mesh = make_mesh(data=4, model=2)
+        state_sharded = state.replace(params=shard_params(state.params, mesh))
+        batch_sharded = shard_batch(batch, mesh)
+        _, m_sharded = tstep(state_sharded, batch_sharded, jax.random.PRNGKey(9))
+        np.testing.assert_allclose(
+            float(m_single["total_loss"]),
+            float(m_sharded["total_loss"]),
+            rtol=2e-4,
+        )
