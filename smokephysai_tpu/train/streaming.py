@@ -1,0 +1,110 @@
+"""Streaming fused sim+encode pipeline.
+
+The BASELINE.json north star requires 'simulation-driven frame generation
+running on-device so density/velocity fields never leave HBM between sim
+step and model forward' and a streaming 1024^2 @30fps config. The reference
+cannot express this: it hops simulator -> host numpy -> model per frame
+(reference inference.py:46-71).
+
+`make_streaming_step` fuses one solver step, the fractal perturbation, and
+the full SmokePhysNet forward into a single donated XLA program: per frame
+the host only receives the (tiny) physics features and, optionally, the
+reconstruction. `streaming_rollout` scans N frames entirely on device.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from smokephysai_tpu.physics import solver
+from smokephysai_tpu.physics.fractal import fractal_field
+from smokephysai_tpu.physics.simulator import FRACTAL_INTENSITY
+from smokephysai_tpu.physics.state import SimState
+
+Array = jnp.ndarray
+
+
+def make_streaming_step(
+    model,
+    variables: Dict,
+    dt: float = 0.01,
+    viscosity: float = 0.001,
+    num_jacobi_iters: int = 20,
+    use_pallas: bool = True,
+    vorticity_eps: float = 0.0,
+    chaos_seed: int = 0,
+    return_reconstruction: bool = True,
+) -> Callable[[SimState], Tuple[SimState, Dict[str, Array]]]:
+    """One fused frame: solver step -> perturbed frame -> model forward.
+    The SimState buffer is donated, so the step runs fully in-place in HBM.
+    """
+    chaos_key = jax.random.PRNGKey(chaos_seed)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def stream_step(state: SimState) -> Tuple[SimState, Dict[str, Array]]:
+        state = solver.step(
+            state,
+            dt=dt,
+            viscosity=viscosity,
+            num_jacobi_iters=num_jacobi_iters,
+            vorticity_eps=vorticity_eps,
+            use_pallas=use_pallas,
+        )
+        grid = state.density.shape
+        frame = state.density * (
+            1.0 + FRACTAL_INTENSITY * jnp.asarray(fractal_field(grid))
+        )
+        out = model.apply(
+            variables,
+            frame[None, :, :, None],
+            train=False,
+            rngs={"chaos": chaos_key},
+        )
+        result = {"physics_features": out["physics_features"][0], "frame": frame}
+        if return_reconstruction:
+            result["reconstructed"] = out["reconstructed"][0, :, :, 0]
+        return state, result
+
+    return stream_step
+
+
+def streaming_rollout(
+    model,
+    variables: Dict,
+    state: SimState,
+    num_frames: int,
+    dt: float = 0.01,
+    viscosity: float = 0.001,
+    num_jacobi_iters: int = 20,
+    use_pallas: bool = True,
+    chaos_seed: int = 0,
+) -> Tuple[SimState, Dict[str, Array]]:
+    """Scan `num_frames` fused sim+predict steps in ONE compiled program;
+    host sees only the stacked per-frame physics features (and frames)."""
+    chaos_key = jax.random.PRNGKey(chaos_seed)
+    grid = state.density.shape
+    fractal = jnp.asarray(fractal_field(grid))
+
+    def body(s, _):
+        s = solver.step(
+            s,
+            dt=dt,
+            viscosity=viscosity,
+            num_jacobi_iters=num_jacobi_iters,
+            use_pallas=use_pallas,
+        )
+        frame = s.density * (1.0 + FRACTAL_INTENSITY * fractal)
+        out = model.apply(
+            variables, frame[None, :, :, None], train=False,
+            rngs={"chaos": chaos_key},
+        )
+        return s, {
+            "physics_features": out["physics_features"][0],
+            "frame": frame,
+        }
+
+    return lax.scan(body, state, None, length=num_frames)
