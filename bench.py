@@ -63,8 +63,8 @@ def bench_sim(grid=256, steps=100, use_pallas=False):
     from smokephysai_tpu.physics.solver import multi_step
 
     state = init_state((grid, grid))
-    # warm-up / compile
-    s, _ = multi_step(state, 5, use_pallas=use_pallas)
+    # warm-up / compile with the SAME scan length as the timed run
+    s, _ = multi_step(state, steps, use_pallas=use_pallas)
     jax.block_until_ready(s.density)
 
     t0 = time.perf_counter()

@@ -160,3 +160,32 @@ class TestAnalyticProperties:
         e_conf = float(jnp.sum(s_conf.u**2) + jnp.sum(s_conf.v**2))
         e_plain = float(jnp.sum(s_plain.u**2) + jnp.sum(s_plain.v**2))
         assert e_conf != e_plain  # confinement path actually engages
+
+
+class TestShiftAdvection:
+    def test_shift_path_equals_gather_path(self):
+        """Tent shift decomposition must equal the clamped bilinear gather
+        for displacements within max_disp."""
+        key = jax.random.PRNGKey(7)
+        k1, k2, k3 = jax.random.split(key, 3)
+        h, w = 48, 40
+        field = jax.random.uniform(k1, (h, w))
+        # |velocity| <= 300 -> |dt*u| <= 3 cells, within max_disp=4
+        u = jax.random.uniform(k2, (h + 1, w), minval=-300.0, maxval=300.0)
+        v = jax.random.uniform(k3, (h, w + 1), minval=-300.0, maxval=300.0)
+        fast = advect(field, u, v, dt=0.01, max_disp=4)
+        ref = advect(field, u, v, dt=0.01, max_disp=0)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)
+
+    def test_shift_path_staggered_shapes(self):
+        key = jax.random.PRNGKey(8)
+        k1, k2 = jax.random.split(key)
+        h, w = 32, 32
+        u = jax.random.uniform(k1, (h + 1, w), minval=-300.0, maxval=300.0)
+        v = jax.random.uniform(k2, (h, w + 1), minval=-300.0, maxval=300.0)
+        for f in (u, v):
+            fast = advect(f, u, v, dt=0.01, max_disp=4)
+            ref = advect(f, u, v, dt=0.01, max_disp=0)
+            np.testing.assert_allclose(
+                np.asarray(fast), np.asarray(ref), atol=1e-5
+            )
