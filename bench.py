@@ -20,7 +20,7 @@ BASELINE_MS_PER_FRAME = 610.92  # reference README.md:24
 BATCH = 4  # reference benchmark.py:263
 
 
-def bench_inference():
+def bench_inference(compute_dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -34,7 +34,8 @@ def bench_inference():
             "num_heads": 8,
             "output_channels": 64,
             "chaos_strength": 0.1,
-        }
+        },
+        "tpu": {"compute_dtype": compute_dtype},
     }
     model = build_model(config)
     x = jnp.zeros((BATCH, 128, 128, 1), jnp.float32)
@@ -77,6 +78,12 @@ def bench_sim(grid=256, steps=100, use_pallas=False):
 def main():
     p50_ms = bench_inference()
     extra = {}
+    try:
+        extra["p50_frame_inference_ms_bf16"] = round(
+            bench_inference("bfloat16"), 3
+        )
+    except Exception as e:  # pragma: no cover
+        extra["bf16_error"] = str(e)[:200]
     try:
         extra["sim_steps_per_sec_256_xla"] = round(bench_sim(use_pallas=False), 1)
     except Exception as e:  # pragma: no cover

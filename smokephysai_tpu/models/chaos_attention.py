@@ -72,6 +72,7 @@ class ChaosAttention(nn.Module):
     num_heads: int = 8
     chaos_strength: float = 0.1
     temperature: float = 1.0
+    dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 for MXU fast path)
 
     @nn.compact
     def __call__(
@@ -82,20 +83,21 @@ class ChaosAttention(nn.Module):
         hd = D // h
         assert D % h == 0
 
-        q = TorchDense(D, name="q_proj")(x)
-        k = TorchDense(D, name="k_proj")(x)
-        v = TorchDense(D, name="v_proj")(x)
+        dense = lambda f, name: TorchDense(f, dtype=self.dtype, name=name)
+        q = dense(D, "q_proj")(x)
+        k = dense(D, "k_proj")(x)
+        v = dense(D, "v_proj")(x)
 
         if chaos_key is None:
             chaos_key = self.make_rng("chaos")
         field = chaos_field(chaos_key, B, L)  # [B, L, 3]
-        chaos_feats = TorchDense(D, name="chaos_proj")(field)  # [B, L, D]
+        chaos_feats = dense(D, "chaos_proj")(field)  # [B, L, D]
         gate = jax.nn.sigmoid(
-            TorchDense(1, name="chaos_gate")(chaos_feats)
-        )  # [B, L, 1]
+            dense(1, "chaos_gate")(chaos_feats).astype(jnp.float32)
+        ).astype(self.dtype)  # [B, L, 1]
 
         # fused: q_eff @ k^T == q @ k^T + strength * gate * (chaos @ k^T)
-        q_eff = q + self.chaos_strength * gate * chaos_feats
+        q_eff = q + jnp.asarray(self.chaos_strength, self.dtype) * gate * chaos_feats
 
         split = lambda t: t.reshape(B, L, h, hd).transpose(0, 2, 1, 3)
         scores = jnp.einsum(
@@ -108,10 +110,11 @@ class ChaosAttention(nn.Module):
                 mask[:, None, None, :] == 0, jnp.float32(-jnp.inf), scores
             )
 
-        attn = jax.nn.softmax(scores / self.temperature, axis=-1)
+        # scores accumulate in f32 (preferred_element_type); softmax in f32
+        attn = jax.nn.softmax(scores / self.temperature, axis=-1).astype(self.dtype)
         out = jnp.einsum(
             "bhij,bhjd->bhid", attn, split(v),
             preferred_element_type=jnp.float32,
         )
         out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
-        return TorchDense(D, name="out_proj")(out)
+        return dense(D, "out_proj")(out).astype(jnp.float32)

@@ -28,9 +28,13 @@ def _uniform_bound_init(bound: float):
 
 
 class TorchDense(nn.Module):
-    """nn.Linear equivalent: y = x W^T + b with torch default init."""
+    """nn.Linear equivalent: y = x W^T + b with torch default init.
+
+    `dtype` sets the computation dtype (params stay float32; cast at use),
+    e.g. bfloat16 to run the matmul at MXU bf16 rate."""
 
     features: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -41,7 +45,8 @@ class TorchDense(nn.Module):
         bias = self.param(
             "bias", _uniform_bound_init(fan_in**-0.5), (self.features,), jnp.float32
         )
-        return x @ kernel + bias
+        x = x.astype(self.dtype)
+        return x @ kernel.astype(self.dtype) + bias.astype(self.dtype)
 
 
 class TorchConv(nn.Module):
@@ -50,6 +55,7 @@ class TorchConv(nn.Module):
     features: int
     kernel_size: Tuple[int, int]
     padding: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -63,11 +69,12 @@ class TorchConv(nn.Module):
             "bias", _uniform_bound_init(fan_in**-0.5), (self.features,), jnp.float32
         )
         out = jax.lax.conv_general_dilated(
-            x,
-            kernel,
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
             window_strides=(1, 1),
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
         )
         return out + bias
 

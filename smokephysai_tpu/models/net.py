@@ -41,19 +41,22 @@ class ChaosTransformerLayer(nn.Module):
     num_heads: int
     chaos_strength: float = 0.1
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = False) -> Array:
         attn = ChaosAttention(
-            self.dim, self.num_heads, self.chaos_strength, name="chaos_attention"
+            self.dim, self.num_heads, self.chaos_strength, dtype=self.dtype,
+            name="chaos_attention",
         )
         x = x + attn(nn.LayerNorm(epsilon=1e-5, name="norm1")(x))
 
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        y = TorchDense(4 * self.dim, name="ffn_in")(y)
+        y = TorchDense(4 * self.dim, dtype=self.dtype, name="ffn_in")(y)
         y = jax.nn.gelu(y, approximate=False)  # torch nn.GELU default
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        y = TorchDense(self.dim, name="ffn_out")(y)
+        y = TorchDense(self.dim, dtype=self.dtype, name="ffn_out")(y)
+        y = y.astype(jnp.float32)  # residual stream stays f32
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         return x + y
 
@@ -71,6 +74,7 @@ class SmokePhysNet(nn.Module):
     output_channels: int = 64
     chaos_strength: float = 0.1
     bn_axis_name: str | None = None
+    dtype: jnp.dtype = jnp.float32  # compute dtype; bfloat16 = MXU fast path
 
     @nn.compact
     def __call__(
@@ -82,9 +86,9 @@ class SmokePhysNet(nn.Module):
         )
 
         # 1. conv encoder (smokephys_net.py:24-32)
-        h = TorchConv(64, (7, 7), padding=3, name="enc_conv1")(x)
+        h = TorchConv(64, (7, 7), padding=3, dtype=self.dtype, name="enc_conv1")(x)
         h = jax.nn.relu(bn("enc_bn1")(h))
-        h = TorchConv(128, (3, 3), padding=1, name="enc_conv2")(h)
+        h = TorchConv(128, (3, 3), padding=1, dtype=self.dtype, name="enc_conv2")(h)
         h = jax.nn.relu(bn("enc_bn2")(h))
         h = adaptive_avg_pool2d(h, (self.input_dim, self.input_dim))
 
@@ -93,7 +97,9 @@ class SmokePhysNet(nn.Module):
         tokens = h.reshape(B, TOKEN_GRID * TOKEN_GRID, 128)
 
         # 2. project + positional embedding (smokephys_net.py:35-38, :95-107)
-        feats = TorchDense(self.hidden_dim, name="feature_proj")(tokens)
+        feats = TorchDense(
+            self.hidden_dim, dtype=self.dtype, name="feature_proj"
+        )(tokens).astype(jnp.float32)
         pos = self.param(
             "pos_embedding",
             nn.initializers.normal(1.0),  # torch.randn
@@ -112,13 +118,16 @@ class SmokePhysNet(nn.Module):
                 self.hidden_dim,
                 self.num_heads,
                 self.chaos_strength,
+                dtype=self.dtype,
                 name=f"layer_{i}",
             )(feats, deterministic=not train)
 
         # 4. token decoder (smokephys_net.py:50-54, :114)
-        out = TorchDense(256, name="dec1")(feats)
+        out = TorchDense(256, dtype=self.dtype, name="dec1")(feats)
         out = jax.nn.relu(out)
-        out = TorchDense(self.output_channels, name="dec2")(out)
+        out = TorchDense(
+            self.output_channels, dtype=self.dtype, name="dec2"
+        )(out).astype(jnp.float32)
 
         # 5. reconstruction head: 32x32 -> 128x128 (smokephys_net.py:57-66)
         img = out.reshape(B, TOKEN_GRID, TOKEN_GRID, self.output_channels)

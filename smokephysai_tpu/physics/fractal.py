@@ -50,18 +50,24 @@ def mandelbrot_field(shape: Tuple[int, int], iterations: int = 100) -> Array:
     x = jnp.linspace(-2.5, 1.5, w)
     y = jnp.linspace(-1.5, 1.5, h)
     X, Y = jnp.meshgrid(x, y, indexing="ij")  # (w, h): reference orientation
-    c = X + 1j * Y
 
+    # real-pair complex arithmetic (z = zx + i*zy): TPU backends lack
+    # complex dtypes, and the VPU prefers two f32 lanes anyway.
+    # |z| <= 2  <=>  zx^2 + zy^2 <= 4 (sqrt-free).
     def body(i, carry):
-        z, esc = carry
-        mask = jnp.abs(z) <= 2.0
-        z = jnp.where(mask, z * z + c, z)
+        zx, zy, esc = carry
+        mask = zx * zx + zy * zy <= 4.0
+        new_zx = zx * zx - zy * zy + X
+        new_zy = 2.0 * zx * zy + Y
+        zx = jnp.where(mask, new_zx, zx)
+        zy = jnp.where(mask, new_zy, zy)
         esc = jnp.where(mask, jnp.float32(i), esc)
-        return z, esc
+        return zx, zy, esc
 
-    z0 = jnp.zeros_like(c)
-    esc0 = jnp.zeros(c.shape, jnp.float32)
-    _, esc = lax.fori_loop(0, iterations, body, (z0, esc0))
+    zx0 = jnp.zeros(X.shape, jnp.float32)
+    zy0 = jnp.zeros(X.shape, jnp.float32)
+    esc0 = jnp.zeros(X.shape, jnp.float32)
+    _, _, esc = lax.fori_loop(0, iterations, body, (zx0, zy0, esc0))
     return esc / iterations
 
 

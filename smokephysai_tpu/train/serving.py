@@ -20,6 +20,7 @@ Array = jnp.ndarray
 
 def build_model(config: Dict, bn_axis_name: str | None = None) -> SmokePhysNet:
     mc = config["model"]
+    dtype = jnp.dtype(config.get("tpu", {}).get("compute_dtype", "float32"))
     return SmokePhysNet(
         input_dim=mc["input_dim"],
         hidden_dim=mc["hidden_dim"],
@@ -28,6 +29,7 @@ def build_model(config: Dict, bn_axis_name: str | None = None) -> SmokePhysNet:
         output_channels=mc.get("output_channels", 64),
         chaos_strength=mc["chaos_strength"],
         bn_axis_name=bn_axis_name,
+        dtype=dtype,
     )
 
 

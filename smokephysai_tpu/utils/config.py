@@ -49,6 +49,7 @@ DEFAULTS: Dict[str, Any] = {
         "data_axis": 1,       # data-parallel mesh extent (1 = single chip)
         "model_axis": 1,      # tensor-parallel mesh extent
         "vorticity_eps": 0.0,
+        "compute_dtype": "float32",  # 'bfloat16' = MXU fast path for serving
     },
 }
 
