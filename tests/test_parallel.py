@@ -116,3 +116,38 @@ class TestShardedTraining:
             float(m_sharded["total_loss"]),
             rtol=2e-4,
         )
+
+
+class TestRingAttention:
+    def test_matches_full_attention(self, space_mesh):
+        from smokephysai_tpu.parallel.ring_attention import ring_attention
+
+        B, H, L, D = 2, 4, 64, 16
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        q = jax.random.normal(ks[0], (B, H, L, D))
+        k = jax.random.normal(ks[1], (B, H, L, D))
+        v = jax.random.normal(ks[2], (B, H, L, D))
+
+        scores = jnp.einsum("bhid,bhjd->bhij", q, k) / np.sqrt(D)
+        expected = jnp.einsum(
+            "bhij,bhjd->bhid", jax.nn.softmax(scores, axis=-1), v
+        )
+        got = ring_attention(q, k, v, space_mesh)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), atol=2e-5
+        )
+
+    def test_temperature(self, space_mesh):
+        from smokephysai_tpu.parallel.ring_attention import ring_attention
+
+        B, H, L, D = 1, 2, 32, 8
+        ks = jax.random.split(jax.random.PRNGKey(4), 3)
+        q, k, v = (jax.random.normal(kk, (B, H, L, D)) for kk in ks)
+        scores = jnp.einsum("bhid,bhjd->bhij", q, k) / (np.sqrt(D) * 2.0)
+        expected = jnp.einsum(
+            "bhij,bhjd->bhid", jax.nn.softmax(scores, axis=-1), v
+        )
+        got = ring_attention(q, k, v, space_mesh, temperature=2.0)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), atol=2e-5
+        )
