@@ -73,6 +73,7 @@ class ChaosAttention(nn.Module):
     chaos_strength: float = 0.1
     temperature: float = 1.0
     dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 for MXU fast path)
+    use_flash: bool = False  # Pallas blockwise attention (ops/pallas/attention)
 
     @nn.compact
     def __call__(
@@ -100,6 +101,16 @@ class ChaosAttention(nn.Module):
         q_eff = q + jnp.asarray(self.chaos_strength, self.dtype) * gate * chaos_feats
 
         split = lambda t: t.reshape(B, L, h, hd).transpose(0, 2, 1, 3)
+
+        if self.use_flash and mask is None:
+            from smokephysai_tpu.ops.pallas.attention import flash_attention
+
+            out = flash_attention(
+                split(q_eff), split(k), split(v), temperature=self.temperature
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+            return dense(D, "out_proj")(out).astype(jnp.float32)
+
         scores = jnp.einsum(
             "bhid,bhjd->bhij", split(q_eff), split(k),
             preferred_element_type=jnp.float32,

@@ -208,3 +208,20 @@ class TestRegularizer:
     def test_missing_keys_skip_terms(self):
         out = physics_losses({"density_sequence": jnp.ones((1, 3, 4, 4))})
         assert set(out) == {"continuity", "total_physics_loss"}
+
+
+class TestFlashAttentionPath:
+    def test_flash_equals_einsum_path(self):
+        dim, heads, B, L = 64, 4, 2, 128
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, L, dim))
+        a_ref = ChaosAttention(dim, heads, chaos_strength=0.2)
+        a_flash = ChaosAttention(dim, heads, chaos_strength=0.2, use_flash=True)
+        variables = a_ref.init(
+            {"params": jax.random.PRNGKey(1), "chaos": jax.random.PRNGKey(2)}, x
+        )
+        key = jax.random.PRNGKey(3)
+        out_ref = a_ref.apply(variables, x, chaos_key=key)
+        out_flash = a_flash.apply(variables, x, chaos_key=key)
+        np.testing.assert_allclose(
+            np.asarray(out_flash), np.asarray(out_ref), atol=2e-5
+        )

@@ -69,3 +69,27 @@ def test_full_step_pallas_matches_xla():
         np.asarray(s_pal.density), np.asarray(s_xla.density), atol=1e-5
     )
     np.testing.assert_allclose(np.asarray(s_pal.p), np.asarray(s_xla.p), atol=1e-5)
+
+
+def test_flash_attention_matches_einsum():
+    from smokephysai_tpu.ops.pallas.attention import flash_attention
+
+    B, H, L, D = 2, 4, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q, k, v = (jax.random.normal(kk, (B, H, L, D)) for kk in ks)
+    scores = jnp.einsum("bhid,bhjd->bhij", q, k) / np.sqrt(D)
+    expected = jnp.einsum("bhij,bhjd->bhid", jax.nn.softmax(scores, -1), v)
+    got = flash_attention(q, k, v, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+
+
+def test_flash_attention_temperature():
+    from smokephysai_tpu.ops.pallas.attention import flash_attention
+
+    B, H, L, D = 1, 2, 128, 32
+    ks = jax.random.split(jax.random.PRNGKey(6), 3)
+    q, k, v = (jax.random.normal(kk, (B, H, L, D)) for kk in ks)
+    scores = jnp.einsum("bhid,bhjd->bhij", q, k) / (np.sqrt(D) * 1.5)
+    expected = jnp.einsum("bhij,bhjd->bhid", jax.nn.softmax(scores, -1), v)
+    got = flash_attention(q, k, v, temperature=1.5, block_q=64, block_k=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
