@@ -151,3 +151,44 @@ class TestRingAttention:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(expected), atol=2e-5
         )
+
+
+class TestPipeline:
+    def test_pipeline_matches_sequential(self):
+        """4 dense stages over a 4-device pipeline must equal sequential
+        application (GPipe schedule correctness)."""
+        from smokephysai_tpu.parallel.pipeline import pipeline_apply
+
+        mesh = make_mesh(model=4)
+        S, D = 4, 16
+        ks = jax.random.split(jax.random.PRNGKey(0), 2)
+        stacked = {
+            "w": jax.random.normal(ks[0], (S, D, D)) / np.sqrt(D),
+            "b": jax.random.normal(ks[1], (S, D)) * 0.1,
+        }
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, D))
+
+        def stage_fn(p, a):
+            return jnp.tanh(a @ p["w"] + p["b"])
+
+        expected = x
+        for i in range(S):
+            expected = jnp.tanh(
+                expected @ stacked["w"][i] + stacked["b"][i]
+            )
+
+        got = pipeline_apply(stacked, x, stage_fn, mesh, num_microbatches=4)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), atol=1e-5
+        )
+
+    def test_pipeline_single_microbatch(self):
+        from smokephysai_tpu.parallel.pipeline import pipeline_apply
+
+        mesh = make_mesh(model=2)
+        stacked = {"w": jnp.stack([jnp.eye(4) * 2.0, jnp.eye(4) * 3.0])}
+        x = jnp.ones((2, 4))
+        got = pipeline_apply(
+            stacked, x, lambda p, a: a @ p["w"], mesh, num_microbatches=1
+        )
+        np.testing.assert_allclose(np.asarray(got), 6.0 * np.ones((2, 4)))
