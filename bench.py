@@ -75,6 +75,49 @@ def bench_sim(grid=256, steps=100, use_pallas=False):
     return steps / dt
 
 
+def bench_streaming(grid=1024, frames=30):
+    """Fused sim+encode streaming rollout fps at `grid`^2 (BASELINE.json
+    configs[4]: 'Streaming 30fps 1024x1024 video')."""
+    import jax
+    import jax.numpy as jnp
+
+    from smokephysai_tpu.physics import add_smoke_source, init_state
+    from smokephysai_tpu.train.serving import build_model
+    from smokephysai_tpu.train.streaming import streaming_rollout
+
+    config = {
+        "model": {
+            "input_dim": 128,
+            "hidden_dim": 512,
+            "num_layers": 6,
+            "num_heads": 8,
+            "output_channels": 64,
+            "chaos_strength": 0.1,
+        },
+        "tpu": {"compute_dtype": "bfloat16"},
+    }
+    model = build_model(config)
+    x = jnp.zeros((1, grid, grid, 1), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "chaos": jax.random.PRNGKey(1)},
+        x, train=False,
+    )
+    state = init_state((grid, grid))
+    state = state.replace(
+        density=add_smoke_source(state.density, grid / 2, grid / 2, 32.0, 1.5)
+    )
+
+    roll = jax.jit(
+        lambda s: streaming_rollout(model, variables, s, num_frames=frames)
+    )
+    final, outs = roll(state)  # compile + warm
+    jax.block_until_ready(outs["physics_features"])
+    t0 = time.perf_counter()
+    final, outs = roll(state)
+    jax.block_until_ready(outs["physics_features"])
+    return frames / (time.perf_counter() - t0)
+
+
 def main():
     p50_ms = bench_inference()
     extra = {}
@@ -92,6 +135,10 @@ def main():
         extra["sim_steps_per_sec_256_pallas"] = round(bench_sim(use_pallas=True), 1)
     except Exception as e:  # pragma: no cover
         extra["sim_pallas_error"] = str(e)[:200]
+    try:
+        extra["streaming_fps_1024"] = round(bench_streaming(), 1)
+    except Exception as e:  # pragma: no cover
+        extra["streaming_error"] = str(e)[:200]
 
     print(
         json.dumps(

@@ -1,3 +1,13 @@
+"""Parallelism layer (SURVEY.md §2.6 — absent in the single-GPU reference):
+
+  DP  - batch sharding over 'data' (sharding.py; gradient psum by GSPMD)
+  TP  - attention/FFN column/row sharding over 'model' (sharding.py)
+  SP  - ring attention over a sequence-sharded axis (ring_attention.py)
+  PP  - GPipe microbatch pipeline over 'model' (pipeline.py)
+  Spatial - row-block solver decomposition + ppermute halos (halo.py)
+  EP  - NOT SUPPORTED: the model family has no MoE layers (SURVEY.md §2.6
+        marks expert parallelism N/A for this framework).
+"""
 from .mesh import make_mesh
 from .sharding import (
     batch_sharding,

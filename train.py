@@ -18,7 +18,8 @@ def main():
     )
     parser.add_argument(
         "--resume", type=str, default=None,
-        help="Path to experiment dir or checkpoint to resume from",
+        help="Path to experiment dir or checkpoint to resume from; "
+        "'auto' resumes the most recent experiment (elastic restart)",
     )
     args = parser.parse_args()
 
@@ -27,6 +28,12 @@ def main():
     from smokephysai_tpu.train.loop import fit
 
     config = load_config(args.config)
+
+    if args.resume == "auto":
+        from smokephysai_tpu.train.checkpoint import latest_checkpoint
+
+        args.resume = latest_checkpoint()
+        print(f"Auto-resume from: {args.resume}")
 
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     exp_dir = os.path.join("experiments", f"smokephys_{timestamp}")
