@@ -1,0 +1,60 @@
+"""Utility-layer tests: config defaults/merge, profiling timer, checkify
+sanitization (SURVEY.md §5 aux subsystems)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smokephysai_tpu.utils.config import DEFAULTS, load_config
+from smokephysai_tpu.utils.debug import checked, debug_nans
+from smokephysai_tpu.utils.profiling import Timer
+
+
+class TestConfig:
+    def test_defaults_complete(self):
+        cfg = load_config(None)
+        for section in ("data", "model", "physics", "training", "simulation",
+                        "tpu"):
+            assert section in cfg
+
+    def test_partial_yaml_merges_over_defaults(self, tmp_path):
+        p = tmp_path / "c.yaml"
+        p.write_text("model:\n  hidden_dim: 64\n")
+        cfg = load_config(str(p))
+        assert cfg["model"]["hidden_dim"] == 64
+        assert cfg["model"]["num_layers"] == DEFAULTS["model"]["num_layers"]
+        assert cfg["training"]["batch_size"] == 8
+
+    def test_reference_schema_loads(self):
+        cfg = load_config("config/config.yaml")
+        assert cfg["data"]["grid_size"] == [128, 128]
+        assert cfg["model"]["chaos_strength"] == 0.1
+        assert cfg["simulation"]["dt"] == 0.01
+
+
+class TestProfiling:
+    def test_timer_blocks_on_device(self):
+        t = Timer()
+        x = jnp.ones((64, 64))
+        with t.measure(result=None):
+            y = (x @ x).block_until_ready()
+        assert t.p50_ms() is not None and t.p50_ms() >= 0
+
+
+class TestSanitization:
+    def test_debug_nans_raises(self):
+        with pytest.raises(Exception):
+            with debug_nans(True):
+                jnp.log(jnp.array(-1.0)) * 2.0  # nan through a jit op
+                jax.jit(lambda x: jnp.log(x))(jnp.array(-1.0)).block_until_ready()
+
+    def test_checked_flags_nan(self):
+        fn = checked(lambda x: jnp.log(x))
+        err, out = fn(jnp.array(-1.0))
+        assert "nan" in str(err.get()).lower()
+
+    def test_checked_clean_passes(self):
+        fn = checked(lambda x: jnp.log(x))
+        err, out = fn(jnp.array(2.0))
+        assert err.get() is None
+        assert float(out) == pytest.approx(np.log(2.0))
