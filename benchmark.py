@@ -69,9 +69,14 @@ def evaluate_model(predict, batches):
 
     total_mse, total_time, n_batches, n_samples = 0.0, 0.0, 0, 0
     corrs = []
+    seen_shapes = set()
     for batch in batches:
         inputs = batch["input"]
-        # warm the compile cache out of the timed region on the first shape
+        # compile happens per distinct batch shape (e.g. the trailing
+        # partial batch); keep compilation out of the timed region
+        if inputs.shape not in seen_shapes:
+            jax.block_until_ready(predict(inputs)["reconstructed"])
+            seen_shapes.add(inputs.shape)
         start = time.time()
         outputs = predict(inputs)
         jax.block_until_ready(outputs["reconstructed"])
