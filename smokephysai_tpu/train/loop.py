@@ -213,6 +213,24 @@ def fit(
     key, init_key = jax.random.split(key)
     state = create_train_state(config, init_key, steps_per_epoch)
 
+    # multi-device: DP over 'data', TP over 'model' (config tpu section);
+    # GSPMD inserts the gradient all-reduce and TP collectives
+    tpu_cfg = config.get("tpu", {})
+    data_axis = int(tpu_cfg.get("data_axis", 1))
+    model_axis = int(tpu_cfg.get("model_axis", 1))
+    mesh = None
+    if data_axis * model_axis > 1:
+        from smokephysai_tpu.parallel.mesh import make_mesh
+        from smokephysai_tpu.parallel.sharding import shard_batch, shard_params
+
+        mesh = make_mesh(data=data_axis, model=model_axis)
+        state = state.replace(params=shard_params(state.params, mesh))
+        print_fn(f"Mesh: data={data_axis} model={model_axis}")
+
+        _shard_batch = lambda b: shard_batch(b, mesh)
+    else:
+        _shard_batch = lambda b: b
+
     start_epoch = 0
     best_val_loss = float("inf")
     if resume_from:
@@ -231,7 +249,7 @@ def fit(
         for batch_idx, batch in enumerate(
             train_ds.epoch_batches(k_epoch, batch_size, shuffle=True)
         ):
-            state, metrics = tstep(state, batch, k_epoch)
+            state, metrics = tstep(state, _shard_batch(batch), k_epoch)
             train_metrics.append(metrics)
             if writer is not None and batch_idx % log_every == 0:
                 gs = epoch * steps_per_epoch + batch_idx
@@ -245,7 +263,7 @@ def fit(
 
         val_metrics = []
         for batch in val_ds.epoch_batches(k_eval, batch_size, shuffle=False):
-            val_metrics.append(estep(state, batch, k_eval))
+            val_metrics.append(estep(state, _shard_batch(batch), k_eval))
 
         def avg(ms, k):
             return float(np.mean([np.asarray(m[k]) for m in ms])) if ms else 0.0

@@ -126,3 +126,31 @@ def test_inference_visualization(trained_exp_dir, tmp_path, monkeypatch):
     assert (tmp_path / "evo.png").exists()
     assert (tmp_path / "chaos.png").exists()
     assert inf_cli.TEST_POSITIONS == [(64, 64), (32, 32), (96, 96)]
+
+
+def test_fit_on_dp_tp_mesh(tmp_path):
+    """fit() with tpu.data_axis/model_axis >1 trains on the virtual mesh."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs 4 virtual devices")
+    cfg = {
+        **CONFIG,
+        "training": {**CONFIG["training"], "num_epochs": 1, "batch_size": 2},
+        "tpu": {"seed": 0, "use_pallas": False, "data_axis": 2, "model_axis": 2},
+    }
+    train_ds = SyntheticSmokeDataset(
+        num_samples=4, grid_size=(64, 64), sequence_length=20, seed=0
+    )
+    val_ds = SyntheticSmokeDataset(
+        num_samples=2, grid_size=(64, 64), sequence_length=20, seed=1
+    )
+    state = fit(cfg, train_ds, val_ds, str(tmp_path), writer=None,
+                print_fn=lambda *a: None)
+    import numpy as np
+
+    assert np.isfinite(
+        float(np.asarray(jax.tree_util.tree_leaves(state.params)[0]).sum())
+    )
