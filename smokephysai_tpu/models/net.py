@@ -75,6 +75,8 @@ class SmokePhysNet(nn.Module):
     chaos_strength: float = 0.1
     bn_axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32  # compute dtype; bfloat16 = MXU fast path
+    remat: bool = False  # jax.checkpoint each transformer block (activation
+    # memory ~ 1 block instead of num_layers; for big batches / 1024^2 grids)
 
     @nn.compact
     def __call__(
@@ -113,14 +115,19 @@ class SmokePhysNet(nn.Module):
         feats = feats + pos
 
         # 3. chaos transformer trunk (smokephys_net.py:41-47, :110-111)
+        layer_cls = (
+            nn.remat(ChaosTransformerLayer, static_argnums=(2,))
+            if self.remat
+            else ChaosTransformerLayer
+        )
         for i in range(self.num_layers):
-            feats = ChaosTransformerLayer(
+            feats = layer_cls(
                 self.hidden_dim,
                 self.num_heads,
                 self.chaos_strength,
                 dtype=self.dtype,
                 name=f"layer_{i}",
-            )(feats, deterministic=not train)
+            )(feats, not train)
 
         # 4. token decoder (smokephys_net.py:50-54, :114)
         out = TorchDense(256, dtype=self.dtype, name="dec1")(feats)
