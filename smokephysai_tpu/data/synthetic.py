@@ -70,10 +70,28 @@ def generate_dataset(
     chunk_size: int = 64,
     use_pallas: bool = False,
     vorticity_eps: float = 0.0,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Generate `num_samples` episodes in vmapped chunks. Returns host
-    arrays {sequences [N,T,H,W], chaos [N,3], source params}."""
+    arrays {sequences [N,T,H,W], chaos [N,3], source params}.
+
+    With `mesh`, the episode axis is sharded over the 'data' mesh axis —
+    embarrassingly parallel multi-chip generation (GSPMD splits the vmapped
+    program; no collectives needed)."""
     params = sample_source_params(key, num_samples, grid_size)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = mesh.shape["data"]
+        chunk_size = max(chunk_size, n_data)
+        chunk_size -= chunk_size % n_data  # chunks divide the data axis
+        sharding = NamedSharding(mesh, P("data"))
+        # trailing ragged chunk stays unsharded (shape must divide the axis)
+        place = lambda x: (
+            jax.device_put(x, sharding) if x.shape[0] % n_data == 0 else x
+        )
+    else:
+        place = lambda x: x
 
     episode = jax.jit(
         jax.vmap(
@@ -95,9 +113,9 @@ def generate_dataset(
     for start in range(0, num_samples, chunk_size):
         end = min(start + chunk_size, num_samples)
         s, l = episode(
-            params["xy"][start:end],
-            params["intensity"][start:end],
-            params["active"][start:end],
+            place(params["xy"][start:end]),
+            place(params["intensity"][start:end]),
+            place(params["active"][start:end]),
         )
         seqs.append(np.asarray(s))
         labels.append(np.asarray(l))

@@ -184,3 +184,22 @@ class TestMetrics:
         ours = np.asarray(M.pearson_per_sample(jnp.asarray(a), jnp.asarray(b)))
         for i in range(5):
             assert ours[i] == pytest.approx(pearsonr(a[i], b[i])[0], abs=1e-5)
+
+
+class TestMeshGeneration:
+    def test_sharded_generation_matches_unsharded(self):
+        """Episode generation sharded over the data axis must produce the
+        same episodes (GSPMD placement only)."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        from smokephysai_tpu.data.synthetic import generate_dataset
+        from smokephysai_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=8)
+        key = jax.random.PRNGKey(11)
+        a = generate_dataset(key, 8, (32, 32), sequence_length=12)
+        b = generate_dataset(key, 8, (32, 32), sequence_length=12, mesh=mesh)
+        np.testing.assert_allclose(
+            a["sequences"], b["sequences"], atol=1e-6
+        )
+        np.testing.assert_allclose(a["chaos"], b["chaos"], atol=1e-5)
