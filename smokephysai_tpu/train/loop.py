@@ -10,6 +10,7 @@ it, train.py:186-187).
 """
 from __future__ import annotations
 
+import functools
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -132,9 +133,10 @@ def compute_losses(
 
 
 def make_train_step(physics_cfg: Dict) -> Callable:
-    """Jitted, buffer-donated train step."""
+    """Jitted, buffer-donated train step (params/opt-state buffers are
+    updated in place in HBM)."""
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(
         state: TrainState, batch: Dict[str, Array], rng: Array
     ) -> Tuple[TrainState, Dict[str, Array]]:

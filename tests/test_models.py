@@ -225,3 +225,21 @@ class TestFlashAttentionPath:
         np.testing.assert_allclose(
             np.asarray(out_flash), np.asarray(out_ref), atol=2e-5
         )
+
+
+def test_large_grid_forward():
+    """Model must accept larger grids than 128 (256^2/512^2 configs):
+    encoder adaptive-pools any input down to the token grid, recon head
+    resizes back to the input resolution."""
+    model = SmokePhysNet(
+        input_dim=32, hidden_dim=64, num_layers=1, num_heads=4,
+        output_channels=16,
+    )
+    x = jnp.zeros((1, 256, 256, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "chaos": jax.random.PRNGKey(1)},
+        x, train=False,
+    )
+    out = model.apply(variables, x, train=False,
+                      rngs={"chaos": jax.random.PRNGKey(2)})
+    assert out["reconstructed"].shape == (1, 256, 256, 1)

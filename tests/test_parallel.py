@@ -105,11 +105,13 @@ class TestShardedTraining:
             "sequence": jax.random.uniform(key, (8, 20, 64, 64)),
         }
         tstep = make_train_step(config["physics"])
-        _, m_single = tstep(state, batch, jax.random.PRNGKey(9))
-
+        # the train step donates its input state buffers, so build a fully
+        # independent state for the sharded run (same key -> identical init)
+        state2 = create_train_state(config, jax.random.PRNGKey(0), 1)
         mesh = make_mesh(data=4, model=2)
-        state_sharded = state.replace(params=shard_params(state.params, mesh))
+        state_sharded = state2.replace(params=shard_params(state2.params, mesh))
         batch_sharded = shard_batch(batch, mesh)
+        _, m_single = tstep(state, batch, jax.random.PRNGKey(9))
         _, m_sharded = tstep(state_sharded, batch_sharded, jax.random.PRNGKey(9))
         np.testing.assert_allclose(
             float(m_single["total_loss"]),
