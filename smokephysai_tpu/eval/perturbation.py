@@ -14,7 +14,7 @@ one simulation program instead of a Python loop over 50 scenarios
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence
+from typing import Callable, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

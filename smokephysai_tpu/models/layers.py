@@ -8,7 +8,7 @@ equals uniform(+-sqrt(1/fan_in)) == variance_scaling(1/3, fan_in, uniform).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

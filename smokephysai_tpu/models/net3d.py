@@ -13,8 +13,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
-from jax.nn.initializers import variance_scaling
-
 from .layers import TorchBatchNorm, _uniform_bound_init, torch_kernel_init
 from .net import ChaosTransformerLayer
 

@@ -18,8 +18,6 @@ attention over q_eff IS chaos attention.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax, shard_map

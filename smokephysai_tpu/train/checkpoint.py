@@ -11,7 +11,6 @@ import json
 import os
 from typing import Any, Dict, Optional, Tuple
 
-import jax
 import orbax.checkpoint as ocp
 
 CKPT_NAME = "best_model"

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from smokephysai_tpu.models import SmokePhysNet
 from smokephysai_tpu.models.regularizer import physics_losses
