@@ -295,3 +295,32 @@ def sharded_step(
     return SimState(
         u=from_overlapped(u_ov, S), v=v, p=p, density=density
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "num_steps", "num_jacobi_iters", "max_disp",
+                     "axis_name"),
+)
+def sharded_multi_step(
+    state: SimState,
+    mesh: Mesh,
+    num_steps: int,
+    dt: float = 0.01,
+    viscosity: float = 0.001,
+    num_jacobi_iters: int = 20,
+    max_disp: int = 2,
+    axis_name: str = "space",
+) -> Tuple[SimState, Array]:
+    """Jitted scan over `num_steps` domain-decomposed steps; returns the
+    final state and the row-sharded density trajectory [T, H, W]."""
+
+    def body(s, _):
+        s = sharded_step(
+            s, mesh, dt=dt, viscosity=viscosity,
+            num_jacobi_iters=num_jacobi_iters, max_disp=max_disp,
+            axis_name=axis_name,
+        )
+        return s, s.density
+
+    return lax.scan(body, state, None, length=num_steps)

@@ -242,3 +242,18 @@ class TestShardedSolverStep:
         np.testing.assert_allclose(
             np.asarray(s_shard.p), np.asarray(s_ref.p), atol=1e-5
         )
+
+    def test_sharded_multi_step_bit_exact(self, space_mesh):
+        from smokephysai_tpu.parallel.sharded_solver import sharded_multi_step
+        from smokephysai_tpu.physics import add_smoke_source, init_state
+        from smokephysai_tpu.physics.solver import multi_step
+
+        s = init_state((64, 32))
+        s = s.replace(
+            density=add_smoke_source(s.density, 16.0, 20.0, 6.0, 1.5)
+        )
+        _, t_sharded = sharded_multi_step(s, space_mesh, 4)
+        _, t_ref = multi_step(s, 4)
+        np.testing.assert_allclose(
+            np.asarray(t_sharded), np.asarray(t_ref), atol=1e-6
+        )
