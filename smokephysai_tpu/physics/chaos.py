@@ -31,20 +31,30 @@ def lyapunov_exponent(states: Array) -> Array:
     """
     window = states[-LYAPUNOV_WINDOW:]
     diffs = window[1:] - window[:-1]
-    dists = jnp.sqrt(jnp.sum(diffs**2, axis=(-2, -1)))  # Frobenius per step
+    # Frobenius norm per step over all non-time axes (2D frames or 3D volumes)
+    dists = jnp.sqrt(jnp.sum(diffs**2, axis=tuple(range(1, diffs.ndim))))
     log_d = jnp.log(dists + 1e-8)
     lyap = jnp.mean(log_d[1:] - log_d[:-1])
     return jnp.maximum(0.0, lyap)
 
 
 def box_count(binary: Array, scale: int) -> Array:
-    """Number of scale x scale boxes containing any positive cell; truncates
-    the remainder rows/cols like the reference's integer-division loop
-    (reference smoke_simulator.py:103-115)."""
-    h, w = binary.shape
-    bh, bw = h // scale, w // scale
-    cropped = binary[: bh * scale, : bw * scale]
-    sums = cropped.reshape(bh, scale, bw, scale).sum(axis=(1, 3))
+    """Number of scale^d boxes containing any positive cell; truncates the
+    remainder rows/cols like the reference's integer-division loop
+    (reference smoke_simulator.py:103-115). Works for 2D frames and 3D
+    volumes (the volumetric config extends the same box-counting)."""
+    if binary.ndim == 2:
+        h, w = binary.shape
+        bh, bw = h // scale, w // scale
+        cropped = binary[: bh * scale, : bw * scale]
+        sums = cropped.reshape(bh, scale, bw, scale).sum(axis=(1, 3))
+    else:
+        d, h, w = binary.shape
+        bd, bh, bw = d // scale, h // scale, w // scale
+        cropped = binary[: bd * scale, : bh * scale, : bw * scale]
+        sums = cropped.reshape(bd, scale, bh, scale, bw, scale).sum(
+            axis=(1, 3, 5)
+        )
     return jnp.sum(sums > 0).astype(jnp.float32)
 
 

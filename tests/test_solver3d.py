@@ -77,3 +77,24 @@ def test_multi_step3d_scan():
     final, traj = multi_step3d(s, 4)
     assert traj.shape == (4, 8, 8, 8)
     assert np.isfinite(np.asarray(final.density)).all()
+
+
+def test_simulate_episode3d():
+    """Fused 3D episode: sequence shape + finite chaos label + 3D chaos
+    features behave (fd in a sane range, entropy >= 0)."""
+    from smokephysai_tpu.physics.simulator3d import simulate_episode3d
+    from smokephysai_tpu.physics.chaos import fractal_dimension, shannon_entropy
+
+    xyz = jnp.array([[16.0, 16.0, 16.0], [8.0, 20.0, 10.0], [0.0, 0.0, 0.0]])
+    inten = jnp.array([1.5, 0.8, 0.0])
+    active = jnp.array([1.0, 1.0, 0.0])
+    seq, label = simulate_episode3d(
+        xyz, inten, active, grid_size=(32, 32, 32), num_steps=12
+    )
+    assert seq.shape == (12, 32, 32, 32)
+    assert np.isfinite(np.asarray(label)).all()
+
+    fd = float(fractal_dimension(seq[-1]))
+    ent = float(shannon_entropy(seq[-1]))
+    assert 0.0 < fd < 3.5  # box-counting dimension of a 3D set
+    assert ent >= 0.0
