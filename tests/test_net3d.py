@@ -72,3 +72,57 @@ def test_sim3d_to_model_pipeline():
     out = model.apply(variables, x, train=False,
                       rngs={"chaos": jax.random.PRNGKey(2)})
     assert np.isfinite(np.asarray(out["physics_features"])).all()
+
+
+def test_3d_dataset_and_train_step():
+    """3D data pipeline -> SmokePhysNet3D train step: loss decreases."""
+    import optax
+    from smokephysai_tpu.data.synthetic3d import SyntheticSmokeDataset3D
+    from smokephysai_tpu.models.regularizer import physics_losses
+
+    ds = SyntheticSmokeDataset3D(
+        num_samples=4, grid_size=(32, 32, 32), sequence_length=12, seed=0
+    )
+    assert len(ds) == 4
+    batch = ds.sample_batch(jax.random.PRNGKey(0), 2)
+    assert batch["input"].shape == (2, 32, 32, 32, 1)
+    assert batch["chaos_features"].shape == (2, 3)
+
+    model = SmokePhysNet3D(hidden_dim=64, num_layers=1, num_heads=4,
+                           output_channels=8)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "chaos": jax.random.PRNGKey(2)},
+        batch["input"], train=False,
+    )
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, bs, opt_state, batch, key):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": bs}, batch["input"], train=True,
+                rngs={"chaos": key, "dropout": key}, mutable=["batch_stats"],
+            )
+            recon = jnp.mean((out["reconstructed"] - batch["target"]) ** 2)
+            chaos = jnp.mean(
+                (out["physics_features"] - batch["chaos_features"]) ** 2
+            )
+            phys = physics_losses(
+                {"density": out["reconstructed"]},
+                {"density": batch["target"]},
+            )["total_physics_loss"]
+            return recon + 0.1 * chaos + 0.05 * phys, mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
+
+    params, bs = variables["params"], variables["batch_stats"]
+    losses = []
+    for i in range(4):
+        params, bs, opt_state, loss = step(
+            params, bs, opt_state, batch, jax.random.PRNGKey(3 + i)
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
