@@ -139,6 +139,39 @@ def main():
         extra["streaming_fps_1024"] = round(bench_streaming(), 1)
     except Exception as e:  # pragma: no cover
         extra["streaming_error"] = str(e)[:200]
+    try:
+        # serving throughput at batch 64 (amortises per-call dispatch)
+        import jax as _jax
+        import jax.numpy as _jnp
+        import numpy as _np
+
+        from smokephysai_tpu.train.serving import build_model, make_predictor
+
+        cfg = {
+            "model": {
+                "input_dim": 128, "hidden_dim": 512, "num_layers": 6,
+                "num_heads": 8, "output_channels": 64, "chaos_strength": 0.1,
+            },
+            "tpu": {"compute_dtype": "bfloat16"},
+        }
+        m = build_model(cfg)
+        xb = _jnp.zeros((64, 128, 128, 1), _jnp.float32)
+        vs = m.init(
+            {"params": _jax.random.PRNGKey(0), "chaos": _jax.random.PRNGKey(1)},
+            xb, train=False,
+        )
+        pred = make_predictor(m, vs)
+        _jax.block_until_ready(pred(xb)["reconstructed"])
+        ts = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            _jax.block_until_ready(pred(xb)["reconstructed"])
+            ts.append(time.perf_counter() - t0)
+        extra["throughput_fps_batch64_bf16"] = round(
+            64.0 / float(_np.percentile(ts, 50)), 1
+        )
+    except Exception as e:  # pragma: no cover
+        extra["batch64_error"] = str(e)[:200]
 
     print(
         json.dumps(

@@ -154,3 +154,14 @@ def test_fit_on_dp_tp_mesh(tmp_path):
     assert np.isfinite(
         float(np.asarray(jax.tree_util.tree_leaves(state.params)[0]).sum())
     )
+
+
+def test_attention_map_visualization(tmp_path):
+    from smokephysai_tpu.utils.visualization import SmokeVisualizer
+    import numpy as _np
+
+    viz = SmokeVisualizer()
+    attn = _np.random.default_rng(0).random((1, 4, 16, 16)).astype(_np.float32)
+    img = _np.random.default_rng(1).random((1, 8, 8, 1)).astype(_np.float32)
+    viz.plot_attention_maps(attn, img, save_path=str(tmp_path / "attn.png"))
+    assert (tmp_path / "attn.png").exists()
