@@ -51,13 +51,18 @@ class SmokeSimulator:
         num_jacobi_iters: int = 20,
         vorticity_eps: float = 0.0,
         use_pallas: bool = False,
+        mesh=None,
     ):
+        """`mesh` (with a 'space' axis > 1) switches stepping to the
+        domain-decomposed solver (parallel/sharded_solver.py) — same
+        numerics, grid row-sharded across devices for very large grids."""
         self.grid_size = tuple(grid_size)
         self.dt = dt
         self.viscosity = viscosity
         self.num_jacobi_iters = num_jacobi_iters
         self.vorticity_eps = vorticity_eps
         self.use_pallas = use_pallas
+        self.mesh = mesh
         self.state = solver.init_state(self.grid_size)
         self.history: List[Array] = []
         self.max_history = MAX_HISTORY
@@ -81,14 +86,25 @@ class SmokeSimulator:
     def simulate_step(self, add_fractal: bool = True) -> Array:
         """One solver step; perturbed frame is recorded but NOT fed back
         (reference smoke_simulator.py:31-45)."""
-        self.state = solver.step(
-            self.state,
-            dt=self.dt,
-            viscosity=self.viscosity,
-            num_jacobi_iters=self.num_jacobi_iters,
-            vorticity_eps=self.vorticity_eps,
-            use_pallas=self.use_pallas,
-        )
+        if self.mesh is not None and self.mesh.shape.get("space", 1) > 1:
+            from smokephysai_tpu.parallel.sharded_solver import sharded_step
+
+            self.state = sharded_step(
+                self.state,
+                self.mesh,
+                dt=self.dt,
+                viscosity=self.viscosity,
+                num_jacobi_iters=self.num_jacobi_iters,
+            )
+        else:
+            self.state = solver.step(
+                self.state,
+                dt=self.dt,
+                viscosity=self.viscosity,
+                num_jacobi_iters=self.num_jacobi_iters,
+                vorticity_eps=self.vorticity_eps,
+                use_pallas=self.use_pallas,
+            )
         density = self.state.density
         if add_fractal:
             density = apply_fractal_perturbation(

@@ -257,3 +257,17 @@ class TestShardedSolverStep:
         np.testing.assert_allclose(
             np.asarray(t_sharded), np.asarray(t_ref), atol=1e-6
         )
+
+    def test_facade_with_mesh_matches_single_device(self, space_mesh):
+        from smokephysai_tpu.physics.simulator import SmokeSimulator
+
+        sim_a = SmokeSimulator(grid_size=(64, 32))
+        sim_b = SmokeSimulator(grid_size=(64, 32), mesh=space_mesh)
+        for sim in (sim_a, sim_b):
+            sim.add_incense_source([(16, 20)], [1.5])
+        for _ in range(2):
+            fa = sim_a.simulate_step()
+            fb = sim_b.simulate_step()
+        np.testing.assert_allclose(
+            np.asarray(fb), np.asarray(fa), atol=1e-6
+        )
