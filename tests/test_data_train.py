@@ -203,3 +203,14 @@ class TestMeshGeneration:
             a["sequences"], b["sequences"], atol=1e-6
         )
         np.testing.assert_allclose(a["chaos"], b["chaos"], atol=1e-5)
+
+
+def test_ssim_psnr_golden_parity():
+    """SSIM/PSNR vs values recorded from the reference implementation
+    (robustness_metrics.py:76-103)."""
+    g = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                             "metrics.npz"))
+    a = jnp.asarray(g["a"].transpose(0, 2, 3, 1))
+    b = jnp.asarray(g["b"].transpose(0, 2, 3, 1))
+    assert float(M.ssim(a, b)) == pytest.approx(float(g["ssim"]), abs=1e-5)
+    assert float(M.psnr(a, b)) == pytest.approx(float(g["psnr"]), abs=1e-4)
