@@ -33,17 +33,40 @@ def build_model(config: Dict, bn_axis_name: str | None = None) -> SmokePhysNet:
     )
 
 
+def _load_npz_variables(path: str) -> Dict:
+    """Load a flat npz export (scripts/export_checkpoint.py) back into the
+    {params, batch_stats} pytree. Keys look like
+    params/['layer_0']['chaos_attention']['q_proj']['kernel']."""
+    import re
+
+    import numpy as np
+
+    out: Dict = {"params": {}, "batch_stats": {}}
+    with np.load(path) as f:
+        for key in f.files:
+            col, rest = key.split("/", 1)
+            parts = re.findall(r"\['([^']+)'\]", rest)
+            node = out[col]
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(f[key])
+    return out
+
+
 def load_model(
     config: Dict, checkpoint_path: str
 ) -> Tuple[SmokePhysNet, Dict]:
-    """Restore {params, batch_stats} from an Orbax checkpoint
-    (counterpart of reference inference.py:20-33)."""
+    """Restore {params, batch_stats} from an Orbax checkpoint dir or a flat
+    .npz export (counterpart of reference inference.py:20-33)."""
+    model = build_model(config)
+    if checkpoint_path.endswith(".npz"):
+        return model, _load_npz_variables(checkpoint_path)
+
     from .checkpoint import restore_checkpoint
     from .loop import create_train_state
 
     template = create_train_state(config, jax.random.PRNGKey(0), 1)
     state, _ = restore_checkpoint(checkpoint_path, template)
-    model = build_model(config)
     return model, {"params": state.params, "batch_stats": state.batch_stats}
 
 
