@@ -188,6 +188,7 @@ def main():
         sequence_length=config["data"]["sequence_length"],
         seed=config["tpu"]["seed"] + 1000,
         use_pallas=config["tpu"]["use_pallas"],
+        vorticity_eps=config["tpu"]["vorticity_eps"],
     )
 
     def batches():

@@ -54,6 +54,7 @@ def main():
         dt=config["simulation"]["dt"],
         viscosity=config["simulation"]["viscosity"],
         use_pallas=config["tpu"]["use_pallas"],
+        vorticity_eps=config["tpu"]["vorticity_eps"],
     )
     sequence = generate_test_sequence(simulator, sequence_length=20)
 

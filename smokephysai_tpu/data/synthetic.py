@@ -236,26 +236,43 @@ def create_data_loaders(
     sequence_length: int = 20,
     seed: int = 0,
     use_pallas: bool = False,
+    vorticity_eps: float = 0.0,
 ) -> Tuple[SyntheticSmokeDataset, SyntheticSmokeDataset]:
     """Train/val datasets with npz caching (reference
     data_loader.py:126-184; no worker processes needed — generation is one
-    jitted program on the accelerator)."""
-    train_cache = os.path.join(cache_dir, "train_data.npz") if cache_dir else None
-    val_cache = os.path.join(cache_dir, "val_data.npz") if cache_dir else None
+    jitted program on the accelerator).
+
+    `vorticity_eps` > 0 enables vorticity-confinement in the generating
+    simulator (BASELINE configs[1], config_256_vorticity.yaml). Cache file
+    names encode the generation parameters so configs with different grids /
+    vorticity / sizes never collide in a shared cache_dir (the reference's
+    single pickle name silently serves stale data, data_loader.py:145-150)."""
+
+    def cache_path(split: str, n: int, s: int) -> Optional[str]:
+        if not cache_dir:
+            return None
+        h, w = grid_size
+        tag = f"{split}_{h}x{w}_T{sequence_length}_n{n}_s{s}"
+        if vorticity_eps:
+            tag += f"_vort{vorticity_eps:g}"
+        return os.path.join(cache_dir, f"{tag}.npz")
+
     train = SyntheticSmokeDataset(
         num_samples=num_train,
         grid_size=grid_size,
         sequence_length=sequence_length,
-        cache_path=train_cache,
+        cache_path=cache_path("train", num_train, seed),
         seed=seed,
         use_pallas=use_pallas,
+        vorticity_eps=vorticity_eps,
     )
     val = SyntheticSmokeDataset(
         num_samples=num_val,
         grid_size=grid_size,
         sequence_length=sequence_length,
-        cache_path=val_cache,
+        cache_path=cache_path("val", num_val, seed + 1),
         seed=seed + 1,
         use_pallas=use_pallas,
+        vorticity_eps=vorticity_eps,
     )
     return train, val

@@ -74,6 +74,9 @@ class ChaosAttention(nn.Module):
     temperature: float = 1.0
     dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 for MXU fast path)
     use_flash: bool = False  # Pallas blockwise attention (ops/pallas/attention)
+    ring_axis: str | None = None  # mesh axis for ring attention (SP/CP); the
+    # token axis is sharded over this axis and K/V rotate via ppermute
+    ring_mesh: object = None  # jax.sharding.Mesh for ring_axis (static field)
 
     @nn.compact
     def __call__(
@@ -101,6 +104,20 @@ class ChaosAttention(nn.Module):
         q_eff = q + jnp.asarray(self.chaos_strength, self.dtype) * gate * chaos_feats
 
         split = lambda t: t.reshape(B, L, h, hd).transpose(0, 2, 1, 3)
+
+        if self.ring_axis is not None and mask is None:
+            from smokephysai_tpu.parallel.ring_attention import ring_attention
+
+            out = ring_attention(
+                split(q_eff),
+                split(k),
+                split(v),
+                mesh=self.ring_mesh,
+                axis_name=self.ring_axis,
+                temperature=self.temperature,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+            return dense(D, "out_proj")(out).astype(jnp.float32)
 
         if self.use_flash and mask is None:
             from smokephysai_tpu.ops.pallas.attention import flash_attention

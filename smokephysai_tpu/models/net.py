@@ -42,11 +42,16 @@ class ChaosTransformerLayer(nn.Module):
     chaos_strength: float = 0.1
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False  # Pallas blockwise attention for the score path
+    ring_axis: str | None = None  # SP/CP: shard tokens over this mesh axis
+    ring_mesh: object = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = False) -> Array:
         attn = ChaosAttention(
             self.dim, self.num_heads, self.chaos_strength, dtype=self.dtype,
+            use_flash=self.use_flash, ring_axis=self.ring_axis,
+            ring_mesh=self.ring_mesh,
             name="chaos_attention",
         )
         x = x + attn(nn.LayerNorm(epsilon=1e-5, name="norm1")(x))
@@ -77,6 +82,11 @@ class SmokePhysNet(nn.Module):
     dtype: jnp.dtype = jnp.float32  # compute dtype; bfloat16 = MXU fast path
     remat: bool = False  # jax.checkpoint each transformer block (activation
     # memory ~ 1 block instead of num_layers; for big batches / 1024^2 grids)
+    use_flash: bool = False  # route attention through the Pallas flash
+    # kernel (ops/pallas/attention.py); inference/eval path — the kernel has
+    # no custom VJP, so training keeps the einsum path
+    ring_axis: str | None = None  # ring attention over this mesh axis (SP)
+    ring_mesh: object = None  # jax.sharding.Mesh backing ring_axis
 
     @nn.compact
     def __call__(
@@ -126,6 +136,9 @@ class SmokePhysNet(nn.Module):
                 self.num_heads,
                 self.chaos_strength,
                 dtype=self.dtype,
+                use_flash=self.use_flash,
+                ring_axis=self.ring_axis,
+                ring_mesh=self.ring_mesh,
                 name=f"layer_{i}",
             )(feats, not train)
 

@@ -38,14 +38,16 @@ def _pipeline_local(
     M = microbatches.shape[0]
     params_local = jax.tree_util.tree_map(lambda x: x[0], stacked_params)
 
-    zero_act = lax.pvary(jnp.zeros_like(microbatches[0]), (axis_name,))
+    zero_act = lax.pcast(
+        jnp.zeros_like(microbatches[0]), (axis_name,), to="varying"
+    )
 
     def tick(carry, t):
         act_in_flight = carry
         # stage 0 ingests microbatch t (clamped; masked out beyond M)
         mb_idx = jnp.clip(t, 0, M - 1)
         fresh = lax.dynamic_index_in_dim(microbatches, mb_idx, 0, keepdims=False)
-        fresh = lax.pvary(fresh, (axis_name,))
+        fresh = lax.pcast(fresh, (axis_name,), to="varying")
         x = jnp.where(s == 0, fresh, act_in_flight)
         y = stage_fn(params_local, x)
         # ship activations one stage down the ring (last stage's output

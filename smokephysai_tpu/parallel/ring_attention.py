@@ -59,9 +59,10 @@ def _ring_attention_local(
 
     # initial carries must be marked device-varying over the ring axis for
     # shard_map's type system (they meet varying values inside the scan)
-    acc0 = lax.pvary(jnp.zeros((B, H, Lq, D), jnp.float32), (axis_name,))
-    m0 = lax.pvary(jnp.full((B, H, Lq), NEG_INF, jnp.float32), (axis_name,))
-    l0 = lax.pvary(jnp.zeros((B, H, Lq), jnp.float32), (axis_name,))
+    to_varying = lambda x: lax.pcast(x, (axis_name,), to="varying")
+    acc0 = to_varying(jnp.zeros((B, H, Lq, D), jnp.float32))
+    m0 = to_varying(jnp.full((B, H, Lq), NEG_INF, jnp.float32))
+    l0 = to_varying(jnp.zeros((B, H, Lq), jnp.float32))
     (acc, _, l, _, _), _ = lax.scan(
         step, (acc0, m0, l0, k.astype(jnp.float32), v.astype(jnp.float32)),
         None, length=n,

@@ -18,9 +18,18 @@ from smokephysai_tpu.models import SmokePhysNet
 Array = jnp.ndarray
 
 
-def build_model(config: Dict, bn_axis_name: str | None = None) -> SmokePhysNet:
+def build_model(
+    config: Dict, bn_axis_name: str | None = None, mesh=None
+) -> SmokePhysNet:
+    """Model from config. `tpu.use_flash` routes attention through the
+    Pallas flash kernel (inference path); `tpu.ring_axis` + a mesh with a
+    >1 extent on that axis enables ring attention (sequence parallelism)."""
     mc = config["model"]
-    dtype = jnp.dtype(config.get("tpu", {}).get("compute_dtype", "float32"))
+    tpu_cfg = config.get("tpu", {})
+    dtype = jnp.dtype(tpu_cfg.get("compute_dtype", "float32"))
+    ring_axis = tpu_cfg.get("ring_axis")
+    if ring_axis is not None and (mesh is None or mesh.shape[ring_axis] == 1):
+        ring_axis = None  # ring over a size-1 axis is just full attention
     return SmokePhysNet(
         input_dim=mc["input_dim"],
         hidden_dim=mc["hidden_dim"],
@@ -30,6 +39,9 @@ def build_model(config: Dict, bn_axis_name: str | None = None) -> SmokePhysNet:
         chaos_strength=mc["chaos_strength"],
         bn_axis_name=bn_axis_name,
         dtype=dtype,
+        use_flash=tpu_cfg.get("use_flash", False),
+        ring_axis=ring_axis,
+        ring_mesh=mesh if ring_axis is not None else None,
     )
 
 

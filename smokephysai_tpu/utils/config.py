@@ -50,6 +50,9 @@ DEFAULTS: Dict[str, Any] = {
         "model_axis": 1,      # tensor-parallel mesh extent
         "vorticity_eps": 0.0,
         "compute_dtype": "float32",  # 'bfloat16' = MXU fast path for serving
+        "use_flash": False,   # Pallas flash attention on the serving path
+        "ring_axis": None,    # mesh axis for ring attention (e.g. 'space')
+        "pipeline_axis": None,  # mesh axis for pipeline-parallel trunk
     },
 }
 

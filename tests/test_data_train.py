@@ -96,6 +96,32 @@ class TestDataset:
         assert len(val_batches) == 2  # partial kept for validation
         assert val_batches[1]["input"].shape[0] == 2
 
+    def test_vorticity_eps_changes_generated_data(self, tmp_path):
+        """BASELINE configs[1] wiring (VERDICT r1 item 4): vorticity_eps must
+        flow from the config through create_data_loaders into the generating
+        simulator and measurably change the data — AND the caches of the two
+        settings must not collide in a shared cache_dir."""
+        from smokephysai_tpu.data import create_data_loaders
+        from smokephysai_tpu.utils.config import load_config
+
+        cfg = load_config("config/config_256_vorticity.yaml")
+        assert cfg["tpu"]["vorticity_eps"] == 2.0
+
+        common = dict(
+            batch_size=2, num_train=2, num_val=1, grid_size=(64, 64),
+            sequence_length=12, seed=0, cache_dir=str(tmp_path),
+        )
+        plain, _ = create_data_loaders(vorticity_eps=0.0, **common)
+        vort, _ = create_data_loaders(vorticity_eps=2.0, **common)
+        assert not np.allclose(
+            np.asarray(plain._sequences), np.asarray(vort._sequences)
+        )
+        # distinct cache files — a second loader with eps=2 must hit its own
+        vort2, _ = create_data_loaders(vorticity_eps=2.0, **common)
+        np.testing.assert_array_equal(
+            np.asarray(vort._sequences), np.asarray(vort2._sequences)
+        )
+
     def test_cache_roundtrip(self, tmp_path):
         cache = str(tmp_path / "cache.npz")
         ds1 = SyntheticSmokeDataset(

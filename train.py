@@ -59,6 +59,7 @@ def main():
         sequence_length=config["data"]["sequence_length"],
         seed=config["tpu"]["seed"],
         use_pallas=config["tpu"]["use_pallas"],
+        vorticity_eps=config["tpu"]["vorticity_eps"],
     )
 
     fit(
