@@ -66,6 +66,12 @@ class SyntheticSmokeDataset3D:
             with np.load(cache_path) as f:
                 seqs, chaos = f["sequences"], f["chaos"]
         else:
+            # cap the vmapped working set: a 128^3 episode is ~100 MB of
+            # sequence plus CG/chaos temporaries, so large volumes generate
+            # one (or few) at a time instead of 8 (64^3-sized chunks crash
+            # the single v5e at 128^3)
+            voxels = int(np.prod(self.grid_size))
+            chunk_size = max(1, min(chunk_size, (8 * 64**3) // voxels))
             params = sample_source_params3d(
                 jax.random.PRNGKey(seed), num_samples, self.grid_size
             )
@@ -100,13 +106,7 @@ class SyntheticSmokeDataset3D:
     def __len__(self) -> int:
         return self._sequences.shape[0]
 
-    def sample_batch(self, key: Array, batch_size: int) -> Dict[str, Array]:
-        k1, k2 = jax.random.split(key)
-        idx = jax.random.randint(k1, (batch_size,), 0, len(self))
-        frames = jax.random.randint(
-            k2, (batch_size,), FRAME_RANGE[0],
-            self.sequence_length + FRAME_RANGE[1],
-        )
+    def get_batch(self, idx: Array, frames: Array) -> Dict[str, Array]:
         seqs = self._sequences[idx]  # [B, T, D, H, W]
         inp = jnp.take_along_axis(
             seqs, frames[:, None, None, None, None], axis=1
@@ -120,3 +120,68 @@ class SyntheticSmokeDataset3D:
             "chaos_features": self._chaos[idx],
             "sequence": seqs,
         }
+
+    def sample_batch(self, key: Array, batch_size: int) -> Dict[str, Array]:
+        k1, k2 = jax.random.split(key)
+        idx = jax.random.randint(k1, (batch_size,), 0, len(self))
+        frames = jax.random.randint(
+            k2, (batch_size,), FRAME_RANGE[0],
+            self.sequence_length + FRAME_RANGE[1],
+        )
+        return self.get_batch(idx, frames)
+
+    def epoch_batches(self, key: Array, batch_size: int, shuffle: bool = True):
+        """One pass over all episodes (same semantics as the 2D dataset:
+        shuffled epochs drop the ragged tail to keep jit shapes static;
+        validation keeps it)."""
+        n = len(self)
+        k_perm, k_frames = jax.random.split(key)
+        order = jax.random.permutation(k_perm, n) if shuffle else jnp.arange(n)
+        frames = jax.random.randint(
+            k_frames, (n,), FRAME_RANGE[0],
+            self.sequence_length + FRAME_RANGE[1],
+        )
+        num_full = n // batch_size
+        for b in range(num_full):
+            idx = order[b * batch_size : (b + 1) * batch_size]
+            yield self.get_batch(idx, frames[idx])
+        if not shuffle and n % batch_size:
+            idx = order[num_full * batch_size :]
+            yield self.get_batch(idx, frames[idx])
+
+
+def create_data_loaders3d(
+    batch_size: int = 1,
+    num_train: int = 16,
+    num_val: int = 4,
+    grid_size: Tuple[int, int, int] = (128, 128, 128),
+    cache_dir: Optional[str] = None,
+    sequence_length: int = 20,
+    seed: int = 0,
+) -> Tuple[SyntheticSmokeDataset3D, SyntheticSmokeDataset3D]:
+    """Volumetric train/val datasets (BASELINE configs[3]); cache names
+    encode the generation parameters like the 2D loader."""
+
+    def cache_path(split: str, n: int, s: int) -> Optional[str]:
+        if not cache_dir:
+            return None
+        d, h, w = grid_size
+        return os.path.join(
+            cache_dir, f"{split}3d_{d}x{h}x{w}_T{sequence_length}_n{n}_s{s}.npz"
+        )
+
+    train = SyntheticSmokeDataset3D(
+        num_samples=num_train,
+        grid_size=grid_size,
+        sequence_length=sequence_length,
+        cache_path=cache_path("train", num_train, seed),
+        seed=seed,
+    )
+    val = SyntheticSmokeDataset3D(
+        num_samples=num_val,
+        grid_size=grid_size,
+        sequence_length=sequence_length,
+        cache_path=cache_path("val", num_val, seed + 1),
+        seed=seed + 1,
+    )
+    return train, val

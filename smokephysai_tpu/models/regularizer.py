@@ -12,12 +12,19 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
-def mass_conservation_loss(density_pred: Array, density_target: Array) -> Array:
+def mass_conservation_loss(
+    density_pred: Array, density_target: Array, reduce: str = "sum"
+) -> Array:
     """MSE of per-image total mass (reference physics_regularizer.py:18-24).
-    Works for NHWC [B,H,W,1] or [B,H,W]: sums over trailing spatial dims."""
+    Works for NHWC [B,H,W,1] or [B,H,W]: sums over trailing spatial dims.
+
+    reduce="mean" compares per-voxel mean density instead — used by the 3D
+    path (no reference analog), where total-mass differences scale with the
+    2M-voxel volume and would drown every other loss term."""
     axes = tuple(range(1, density_pred.ndim))
-    mass_pred = jnp.sum(density_pred, axis=axes)
-    mass_target = jnp.sum(density_target, axis=axes)
+    op = jnp.sum if reduce == "sum" else jnp.mean
+    mass_pred = op(density_pred, axis=axes)
+    mass_target = op(density_target, axis=axes)
     return jnp.mean((mass_pred - mass_target) ** 2)
 
 
@@ -60,6 +67,7 @@ def physics_losses(
     conservation_weight: float = 1.0,
     continuity_weight: float = 1.0,
     energy_weight: float = 0.5,
+    mass_reduce: str = "sum",
 ) -> dict:
     """Dict-keyed dispatch matching the reference forward
     (physics_regularizer.py:73-109). Returns per-term losses plus
@@ -68,7 +76,9 @@ def physics_losses(
     total = jnp.float32(0.0)
 
     if "density" in predictions and targets and "density" in targets:
-        mass = mass_conservation_loss(predictions["density"], targets["density"])
+        mass = mass_conservation_loss(
+            predictions["density"], targets["density"], reduce=mass_reduce
+        )
         losses["mass_conservation"] = mass
         total = total + conservation_weight * mass
 

@@ -62,22 +62,35 @@ def create_train_state(
     bn_axis_name: str | None = None,
 ) -> TrainState:
     """Build model + AdamW/cosine/clip optimiser
-    (reference train.py:207-235)."""
+    (reference train.py:207-235). A 3-element data.grid_size selects the
+    volumetric SmokePhysNet3D (BASELINE configs[3]); otherwise the 2D net."""
     mc = config["model"]
     tc = config["training"]
-    model = SmokePhysNet(
-        input_dim=mc["input_dim"],
-        hidden_dim=mc["hidden_dim"],
-        num_layers=mc["num_layers"],
-        num_heads=mc["num_heads"],
-        output_channels=mc.get("output_channels", 64),
-        chaos_strength=mc["chaos_strength"],
-        bn_axis_name=bn_axis_name,
-    )
-    h, w = config["data"]["grid_size"]
+    grid = tuple(config["data"]["grid_size"])
+    if len(grid) == 3:
+        from smokephysai_tpu.models.net3d import SmokePhysNet3D
+
+        model = SmokePhysNet3D(
+            hidden_dim=mc["hidden_dim"],
+            num_layers=mc["num_layers"],
+            num_heads=mc["num_heads"],
+            output_channels=mc.get("output_channels", 32),
+            chaos_strength=mc["chaos_strength"],
+            bn_axis_name=bn_axis_name,
+        )
+    else:
+        model = SmokePhysNet(
+            input_dim=mc["input_dim"],
+            hidden_dim=mc["hidden_dim"],
+            num_layers=mc["num_layers"],
+            num_heads=mc["num_heads"],
+            output_channels=mc.get("output_channels", 64),
+            chaos_strength=mc["chaos_strength"],
+            bn_axis_name=bn_axis_name,
+        )
     k_p, k_c = jax.random.split(key)
     variables = model.init(
-        {"params": k_p, "chaos": k_c}, jnp.zeros((1, h, w, 1)), train=False
+        {"params": k_p, "chaos": k_c}, jnp.zeros((1, *grid, 1)), train=False
     )
     schedule = cosine_epoch_schedule(
         tc["learning_rate"], tc["num_epochs"], steps_per_epoch
@@ -116,6 +129,9 @@ def compute_losses(
         conservation_weight=physics_cfg["conservation_weight"],
         continuity_weight=physics_cfg["continuity_weight"],
         energy_weight=physics_cfg["energy_weight"],
+        # 3D volumes use per-voxel mean mass (see mass_conservation_loss);
+        # 2D keeps the reference's total-mass form for parity
+        mass_reduce="mean" if outputs["reconstructed"].ndim == 5 else "sum",
     )
     physics_loss = phys["total_physics_loss"]
     total = (

@@ -50,17 +50,31 @@ def main():
 
     print(f"Using devices: {jax.devices()}")
 
-    train_ds, val_ds = create_data_loaders(
-        batch_size=config["training"]["batch_size"],
-        num_train=config["data"]["num_train"],
-        num_val=config["data"]["num_val"],
-        grid_size=tuple(config["data"]["grid_size"]),
-        cache_dir=config["data"]["cache_dir"],
-        sequence_length=config["data"]["sequence_length"],
-        seed=config["tpu"]["seed"],
-        use_pallas=config["tpu"]["use_pallas"],
-        vorticity_eps=config["tpu"]["vorticity_eps"],
-    )
+    grid_size = tuple(config["data"]["grid_size"])
+    if len(grid_size) == 3:  # BASELINE configs[3]: 128^3 volumetric path
+        from smokephysai_tpu.data.synthetic3d import create_data_loaders3d
+
+        train_ds, val_ds = create_data_loaders3d(
+            batch_size=config["training"]["batch_size"],
+            num_train=config["data"]["num_train"],
+            num_val=config["data"]["num_val"],
+            grid_size=grid_size,
+            cache_dir=config["data"]["cache_dir"],
+            sequence_length=config["data"]["sequence_length"],
+            seed=config["tpu"]["seed"],
+        )
+    else:
+        train_ds, val_ds = create_data_loaders(
+            batch_size=config["training"]["batch_size"],
+            num_train=config["data"]["num_train"],
+            num_val=config["data"]["num_val"],
+            grid_size=grid_size,
+            cache_dir=config["data"]["cache_dir"],
+            sequence_length=config["data"]["sequence_length"],
+            seed=config["tpu"]["seed"],
+            use_pallas=config["tpu"]["use_pallas"],
+            vorticity_eps=config["tpu"]["vorticity_eps"],
+        )
 
     fit(
         config,
