@@ -135,6 +135,8 @@ class SyntheticSmokeDataset:
     [5, T-5) as input, frame t+1 as target, the episode-averaged chaos
     label, and the full sequence (for the continuity loss, train.py:77)."""
 
+    DEVICE_BYTES_LIMIT = 4e9  # sequences above this stay host-resident
+
     def __init__(
         self,
         num_samples: int = 1000,
@@ -167,29 +169,56 @@ class SyntheticSmokeDataset:
                 np.savez(cache_path, **self.data)
                 print(f"Saved synthetic data to {cache_path}")
 
-        # device-resident copies for zero-copy batch assembly
-        self._sequences = jnp.asarray(self.data["sequences"])
+        # Device-resident copies give zero-copy batch assembly; beyond
+        # ~4 GB (e.g. 800 episodes at 512^2 = 17 GB > v5e HBM) sequences
+        # stay on host and batches ship only input/target frames. The
+        # continuity loss term is a per-episode CONSTANT (it never sees
+        # model outputs, reference physics_regularizer.py:26-35), so it is
+        # precomputed here instead of shipping the full [B,T,H,W] sequence
+        # with every step (168 MB/step at 512^2 through the tunnel).
+        seqs = self.data["sequences"]
+        self._on_device = seqs.nbytes < self.DEVICE_BYTES_LIMIT
+        self._sequences = jnp.asarray(seqs) if self._on_device else seqs
         self._chaos = jnp.asarray(self.data["chaos"])
+        self._continuity = jnp.asarray(
+            np.mean(np.abs(np.diff(seqs, axis=1)), axis=(1, 2, 3))
+            if seqs.shape[1] > 1
+            else np.zeros(seqs.shape[0], np.float32)
+        )
 
     def __len__(self) -> int:
         return self._sequences.shape[0]
 
     def get_batch(self, sample_idx: Array, frame_idx: Array) -> Dict[str, Array]:
-        """Assemble a batch on-device from episode + frame indices.
-        input/target are NHWC [B, H, W, 1]."""
-        seqs = self._sequences[sample_idx]  # [B, T, H, W]
-        B = seqs.shape[0]
-        inp = jnp.take_along_axis(
-            seqs, frame_idx[:, None, None, None], axis=1
-        )[:, 0, :, :, None]
-        tgt = jnp.take_along_axis(
-            seqs, (frame_idx + 1)[:, None, None, None], axis=1
-        )[:, 0, :, :, None]
+        """Assemble a batch from episode + frame indices. input/target are
+        NHWC [B, H, W, 1]. Device-resident datasets also carry the full
+        'sequence' (reference batch contract, data_loader.py:104-123);
+        host-resident ones replace it with the precomputed per-episode
+        'continuity' values."""
+        if self._on_device:
+            seqs = self._sequences[sample_idx]  # [B, T, H, W]
+            inp = jnp.take_along_axis(
+                seqs, frame_idx[:, None, None, None], axis=1
+            )[:, 0, :, :, None]
+            tgt = jnp.take_along_axis(
+                seqs, (frame_idx + 1)[:, None, None, None], axis=1
+            )[:, 0, :, :, None]
+            return {
+                "input": inp,
+                "target": tgt,
+                "chaos_features": self._chaos[sample_idx],
+                "sequence": seqs,
+                "continuity": self._continuity[sample_idx],
+            }
+        si = np.asarray(sample_idx)
+        fi = np.asarray(frame_idx)
+        inp = self._sequences[si, fi][..., None]  # [B, H, W, 1]
+        tgt = self._sequences[si, fi + 1][..., None]
         return {
-            "input": inp,
-            "target": tgt,
+            "input": jnp.asarray(inp),
+            "target": jnp.asarray(tgt),
             "chaos_features": self._chaos[sample_idx],
-            "sequence": seqs,
+            "continuity": self._continuity[sample_idx],
         }
 
     def sample_batch(self, key: Array, batch_size: int) -> Dict[str, Array]:

@@ -116,9 +116,17 @@ class TorchBatchNorm(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_running_average: bool | None = None):
+        """`use_running_average` may be fixed at construction (compact
+        callers) or passed per call (setup-style callers that can't
+        condition construction on `train`)."""
+        ura = (
+            self.use_running_average
+            if use_running_average is None
+            else use_running_average
+        )
         return nn.BatchNorm(
-            use_running_average=self.use_running_average,
+            use_running_average=ura,
             momentum=0.9,
             epsilon=1e-5,
             axis_name=self.axis_name,

@@ -17,6 +17,13 @@ semantics, including:
 
 Returns the same dict contract {reconstructed, physics_features,
 latent_features[, intermediate_features]} (smokephys_net.py:124-132).
+
+The forward is factored into `encode` / `trunk` / `decode` methods (setup
+style, identical parameter tree to the original compact version — proven by
+the weight-port golden, tests/test_torch_port.py) so the serving layer can
+splice parallel trunk schedules in between — e.g. GPipe pipelining of the
+six transformer layers over a mesh axis (parallel/pipeline.py,
+serving.make_pipelined_predictor).
 """
 from __future__ import annotations
 
@@ -35,26 +42,35 @@ TOKEN_GRID = 32  # reference smokephys_net.py:90 'reduced_size'
 
 class ChaosTransformerLayer(nn.Module):
     """Pre-LN block: x += ChaosAttn(LN(x)); x += FFN(LN(x))
-    (reference smokephys_net.py:136-167)."""
+    (reference smokephys_net.py:136-167). `chaos_key` overrides the 'chaos'
+    RNG stream (used by the pipelined trunk, where stages derive keys from
+    their mesh position instead of linen's per-path folding)."""
 
     dim: int
     num_heads: int
     chaos_strength: float = 0.1
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
-    use_flash: bool = False  # Pallas blockwise attention for the score path
-    ring_axis: str | None = None  # SP/CP: shard tokens over this mesh axis
+    use_flash: bool = False
+    ring_axis: str | None = None
     ring_mesh: object = None
 
     @nn.compact
-    def __call__(self, x: Array, deterministic: bool = False) -> Array:
+    def __call__(
+        self,
+        x: Array,
+        deterministic: bool = False,
+        chaos_key: Array | None = None,
+    ) -> Array:
         attn = ChaosAttention(
             self.dim, self.num_heads, self.chaos_strength, dtype=self.dtype,
             use_flash=self.use_flash, ring_axis=self.ring_axis,
             ring_mesh=self.ring_mesh,
             name="chaos_attention",
         )
-        x = x + attn(nn.LayerNorm(epsilon=1e-5, name="norm1")(x))
+        x = x + attn(
+            nn.LayerNorm(epsilon=1e-5, name="norm1")(x), chaos_key=chaos_key
+        )
 
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = TorchDense(4 * self.dim, dtype=self.dtype, name="ffn_in")(y)
@@ -88,20 +104,57 @@ class SmokePhysNet(nn.Module):
     ring_axis: str | None = None  # ring attention over this mesh axis (SP)
     ring_mesh: object = None  # jax.sharding.Mesh backing ring_axis
 
-    @nn.compact
-    def __call__(
-        self, x: Array, train: bool = False, return_features: bool = False
-    ) -> dict:
-        B = x.shape[0]
-        bn = lambda name: TorchBatchNorm(
-            use_running_average=not train, axis_name=self.bn_axis_name, name=name
+    def setup(self):
+        self.enc_conv1 = TorchConv(64, (7, 7), padding=3, dtype=self.dtype)
+        self.enc_bn1 = TorchBatchNorm(axis_name=self.bn_axis_name)
+        self.enc_conv2 = TorchConv(128, (3, 3), padding=1, dtype=self.dtype)
+        self.enc_bn2 = TorchBatchNorm(axis_name=self.bn_axis_name)
+        self.feature_proj = TorchDense(self.hidden_dim, dtype=self.dtype)
+        self.pos_embedding = self.param(
+            "pos_embedding",
+            nn.initializers.normal(1.0),  # torch.randn
+            (1, self.input_dim * self.input_dim, self.hidden_dim),
+            jnp.float32,
         )
+        layer_cls = (
+            nn.remat(ChaosTransformerLayer, static_argnums=(2,))
+            if self.remat
+            else ChaosTransformerLayer
+        )
+        for i in range(self.num_layers):
+            setattr(
+                self,
+                f"layer_{i}",
+                layer_cls(
+                    self.hidden_dim,
+                    self.num_heads,
+                    self.chaos_strength,
+                    dtype=self.dtype,
+                    use_flash=self.use_flash,
+                    ring_axis=self.ring_axis,
+                    ring_mesh=self.ring_mesh,
+                ),
+            )
+        self.dec1 = TorchDense(256, dtype=self.dtype)
+        self.dec2 = TorchDense(self.output_channels, dtype=self.dtype)
+        self.up1 = TorchConvTranspose2x(32)
+        self.up_bn1 = TorchBatchNorm(axis_name=self.bn_axis_name)
+        self.up2 = TorchConvTranspose2x(16)
+        self.up_bn2 = TorchBatchNorm(axis_name=self.bn_axis_name)
+        self.recon_out = TorchConv(1, (3, 3), padding=1)
+        self.phys1 = TorchDense(256)
+        self.phys2 = TorchDense(3)
 
+    def encode(self, x: Array, train: bool = False) -> Array:
+        """Conv encoder + pool to the 32x32 token grid + projection +
+        (re-interpolated) positional embedding (smokephys_net.py:24-38,
+        :87-107). Returns token features [B, 1024, hidden_dim]."""
+        B = x.shape[0]
         # 1. conv encoder (smokephys_net.py:24-32)
-        h = TorchConv(64, (7, 7), padding=3, dtype=self.dtype, name="enc_conv1")(x)
-        h = jax.nn.relu(bn("enc_bn1")(h))
-        h = TorchConv(128, (3, 3), padding=1, dtype=self.dtype, name="enc_conv2")(h)
-        h = jax.nn.relu(bn("enc_bn2")(h))
+        h = self.enc_conv1(x)
+        h = jax.nn.relu(self.enc_bn1(h, use_running_average=not train))
+        h = self.enc_conv2(h)
+        h = jax.nn.relu(self.enc_bn2(h, use_running_average=not train))
         h = adaptive_avg_pool2d(h, (self.input_dim, self.input_dim))
 
         # memory-reduction pool to the 32x32 token grid (smokephys_net.py:90-92)
@@ -109,68 +162,57 @@ class SmokePhysNet(nn.Module):
         tokens = h.reshape(B, TOKEN_GRID * TOKEN_GRID, 128)
 
         # 2. project + positional embedding (smokephys_net.py:35-38, :95-107)
-        feats = TorchDense(
-            self.hidden_dim, dtype=self.dtype, name="feature_proj"
-        )(tokens).astype(jnp.float32)
-        pos = self.param(
-            "pos_embedding",
-            nn.initializers.normal(1.0),  # torch.randn
-            (1, self.input_dim * self.input_dim, self.hidden_dim),
-            jnp.float32,
-        )
+        feats = self.feature_proj(tokens).astype(jnp.float32)
+        pos = self.pos_embedding
         if TOKEN_GRID * TOKEN_GRID != self.input_dim * self.input_dim:
             pos_img = pos.reshape(1, self.input_dim, self.input_dim, self.hidden_dim)
             pos_img = interpolate_bilinear(pos_img, (TOKEN_GRID, TOKEN_GRID))
             pos = pos_img.reshape(1, TOKEN_GRID * TOKEN_GRID, self.hidden_dim)
-        feats = feats + pos
+        return feats + pos
 
-        # 3. chaos transformer trunk (smokephys_net.py:41-47, :110-111)
-        layer_cls = (
-            nn.remat(ChaosTransformerLayer, static_argnums=(2,))
-            if self.remat
-            else ChaosTransformerLayer
-        )
+    def trunk(self, feats: Array, train: bool = False) -> Array:
+        """Sequential chaos transformer trunk (smokephys_net.py:41-47,
+        :110-111). The pipelined alternative runs the same stacked layer
+        params through parallel/pipeline.pipeline_apply."""
         for i in range(self.num_layers):
-            feats = layer_cls(
-                self.hidden_dim,
-                self.num_heads,
-                self.chaos_strength,
-                dtype=self.dtype,
-                use_flash=self.use_flash,
-                ring_axis=self.ring_axis,
-                ring_mesh=self.ring_mesh,
-                name=f"layer_{i}",
-            )(feats, not train)
+            feats = getattr(self, f"layer_{i}")(feats, not train)
+        return feats
 
-        # 4. token decoder (smokephys_net.py:50-54, :114)
-        out = TorchDense(256, dtype=self.dtype, name="dec1")(feats)
+    def decode(
+        self,
+        feats: Array,
+        in_hw: tuple,
+        train: bool = False,
+        return_features: bool = False,
+    ) -> dict:
+        """Token decoder + reconstruction head + physics head
+        (smokephys_net.py:50-73, :114-132)."""
+        B = feats.shape[0]
+        out = self.dec1(feats)
         out = jax.nn.relu(out)
-        out = TorchDense(
-            self.output_channels, dtype=self.dtype, name="dec2"
-        )(out).astype(jnp.float32)
+        out = self.dec2(out).astype(jnp.float32)
 
-        # 5. reconstruction head: 32x32 -> 128x128 (smokephys_net.py:57-66)
+        # reconstruction head: 32x32 -> 128x128 (smokephys_net.py:57-66)
         img = out.reshape(B, TOKEN_GRID, TOKEN_GRID, self.output_channels)
-        img = TorchConvTranspose2x(32, name="up1")(img)
-        img = jax.nn.relu(bn("up_bn1")(img))
-        img = TorchConvTranspose2x(16, name="up2")(img)
-        img = jax.nn.relu(bn("up_bn2")(img))
-        img = TorchConv(1, (3, 3), padding=1, name="recon_out")(img)
+        img = self.up1(img)
+        img = jax.nn.relu(self.up_bn1(img, use_running_average=not train))
+        img = self.up2(img)
+        img = jax.nn.relu(self.up_bn2(img, use_running_average=not train))
+        img = self.recon_out(img)
         reconstructed = jax.nn.sigmoid(img)
         # The reference's head always emits 4x the fixed 32x32 token grid =
         # 128x128 and crashes on any other input size (smokephys_net.py:117-118
         # vs the loss in train.py:69). Documented divergence: we resize to the
         # input resolution so 64^2/256^2 grids (BASELINE.json configs) work;
         # at the reference's 128^2 this is a no-op.
-        in_hw = (x.shape[1], x.shape[2])
-        if reconstructed.shape[1:3] != in_hw:
-            reconstructed = interpolate_bilinear(reconstructed, in_hw)
+        if reconstructed.shape[1:3] != tuple(in_hw):
+            reconstructed = interpolate_bilinear(reconstructed, tuple(in_hw))
 
-        # 6. physics head on mean-pooled tokens (smokephys_net.py:69-73, :121-122)
+        # physics head on mean-pooled tokens (smokephys_net.py:69-73, :121-122)
         pooled = jnp.mean(feats, axis=1)
-        phys = TorchDense(256, name="phys1")(pooled)
+        phys = self.phys1(pooled)
         phys = jax.nn.relu(phys)
-        phys = TorchDense(3, name="phys2")(phys)
+        phys = self.phys2(phys)
 
         results = {
             "reconstructed": reconstructed,
@@ -180,3 +222,12 @@ class SmokePhysNet(nn.Module):
         if return_features:
             results["intermediate_features"] = feats
         return results
+
+    def __call__(
+        self, x: Array, train: bool = False, return_features: bool = False
+    ) -> dict:
+        feats = self.encode(x, train)
+        feats = self.trunk(feats, train)
+        return self.decode(
+            feats, (x.shape[1], x.shape[2]), train, return_features
+        )

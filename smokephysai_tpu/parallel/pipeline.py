@@ -97,3 +97,17 @@ def pipeline_apply(
     outs = fn(stacked_params, micro)
     result = outs[-1]  # last stage's outputs
     return result.reshape(B, *x.shape[1:])
+
+
+def stack_layer_params(params: Any, num_layers: int, num_stages: int) -> Any:
+    """Group the model's `layer_{i}` param subtrees into pipeline stages:
+    leaves become [num_stages, layers_per_stage, ...] with stage s holding
+    layers [s*lps, (s+1)*lps). This is the bridge from SmokePhysNet's
+    per-layer tree (models/net.py) to `pipeline_apply`'s stacked input."""
+    assert num_layers % num_stages == 0, (num_layers, num_stages)
+    lps = num_layers // num_stages
+    stages = []
+    for s in range(num_stages):
+        group = [params[f"layer_{s * lps + j}"] for j in range(lps)]
+        stages.append(jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *group))
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *stages)

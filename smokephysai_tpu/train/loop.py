@@ -120,11 +120,11 @@ def compute_losses(
     chaos_loss = jnp.mean(
         (outputs["physics_features"] - batch["chaos_features"]) ** 2
     )
+    preds = {"density": outputs["reconstructed"]}
+    if "sequence" in batch:
+        preds["density_sequence"] = batch["sequence"]
     phys = physics_losses(
-        {
-            "density": outputs["reconstructed"],
-            "density_sequence": batch["sequence"],
-        },
+        preds,
         {"density": batch["target"]},
         conservation_weight=physics_cfg["conservation_weight"],
         continuity_weight=physics_cfg["continuity_weight"],
@@ -134,6 +134,13 @@ def compute_losses(
         mass_reduce="mean" if outputs["reconstructed"].ndim == 5 else "sum",
     )
     physics_loss = phys["total_physics_loss"]
+    if "sequence" not in batch and "continuity" in batch:
+        # host-resident datasets precompute the (param-independent)
+        # continuity term per episode instead of shipping full sequences;
+        # identical value: mean over [B,T-1,H,W] == mean of per-episode means
+        physics_loss = physics_loss + physics_cfg["continuity_weight"] * jnp.mean(
+            batch["continuity"]
+        )
     total = (
         recon_loss
         + CHAOS_LOSS_WEIGHT * chaos_loss
@@ -215,12 +222,15 @@ def fit(
     exp_dir: str,
     writer=None,
     resume_from: Optional[str] = None,
+    init_from: Optional[str] = None,
     log_every: int = 50,  # reference train.py:103
     print_fn: Callable = print,
 ) -> TrainState:
     """Epoch driver (reference train.py:182-280): train + validate each
     epoch, TB scalars per-50-batches and per-epoch, save best-val
-    checkpoint, working resume."""
+    checkpoint, working resume. `init_from` warm-starts params/batch_stats
+    from an npz export with a fresh optimiser (cross-resolution
+    fine-tuning)."""
     from .checkpoint import restore_checkpoint, save_checkpoint
 
     tc = config["training"]
@@ -229,6 +239,14 @@ def fit(
     key = jax.random.PRNGKey(config.get("tpu", {}).get("seed", 0))
     key, init_key = jax.random.split(key)
     state = create_train_state(config, init_key, steps_per_epoch)
+    if init_from:
+        from .serving import _load_npz_variables
+
+        warm = _load_npz_variables(init_from)
+        state = state.replace(
+            params=warm["params"], batch_stats=warm["batch_stats"]
+        )
+        print_fn(f"Initialised params from {init_from}")
 
     # multi-device: DP over 'data', TP over 'model' (config tpu section);
     # GSPMD inserts the gradient all-reduce and TP collectives

@@ -94,3 +94,69 @@ def make_predictor(
         return model.apply(variables, x, train=False, rngs={"chaos": key})
 
     return predict
+
+
+def make_pipelined_predictor(
+    model: SmokePhysNet,
+    variables: Dict,
+    mesh,
+    axis_name: str = "model",
+    num_microbatches: int | None = None,
+    chaos_seed: int = 0,
+) -> Callable[[Array], Dict[str, Array]]:
+    """Pipeline-parallel serving (config key `tpu.pipeline_axis`): the six
+    ChaosTransformerLayers run as GPipe stages over `axis_name` —
+    mesh.shape[axis_name] stages of num_layers/stages layers each, with
+    microbatched activations flowing stage-to-stage over ICI
+    (parallel/pipeline.py). Encoder/decoder run replicated.
+
+    Chaos PRNG divergence (documented): stage keys are derived from the
+    global layer index and shared across microbatches, so the Lorenz init
+    is per-microbatch rather than per-batch. Same semantics class as the
+    reference's fresh-noise-per-forward (chaos_attention.py:50-52)."""
+    import jax.lax as lax
+
+    from smokephysai_tpu.models.net import ChaosTransformerLayer
+    from smokephysai_tpu.parallel.pipeline import (
+        pipeline_apply,
+        stack_layer_params,
+    )
+
+    num_stages = mesh.shape[axis_name]
+    lps = model.num_layers // num_stages
+    assert model.num_layers % num_stages == 0
+    stacked = stack_layer_params(
+        variables["params"], model.num_layers, num_stages
+    )
+    layer_module = ChaosTransformerLayer(
+        model.hidden_dim, model.num_heads, model.chaos_strength,
+        dtype=model.dtype,
+    )
+    base_key = jax.random.PRNGKey(chaos_seed)
+
+    def stage_fn(stage_params, x):
+        stage = lax.axis_index(axis_name)
+        for j in range(lps):
+            p_j = jax.tree_util.tree_map(lambda t: t[j], stage_params)
+            k_j = jax.random.fold_in(base_key, stage * lps + j)
+            x = layer_module.apply({"params": p_j}, x, True, k_j)
+        return x
+
+    @jax.jit
+    def predict(x: Array) -> Dict[str, Array]:
+        # microbatch count must divide the (trace-time static) batch; more
+        # microbatches -> less pipeline bubble, so default to the largest
+        # divisor of B up to num_stages
+        M = num_microbatches or max(
+            m for m in range(1, num_stages + 1) if x.shape[0] % m == 0
+        )
+        feats = model.apply(variables, x, False, method="encode")
+        feats = pipeline_apply(
+            stacked, feats, stage_fn, mesh, M, axis_name
+        )
+        return model.apply(
+            variables, feats, (x.shape[1], x.shape[2]), False, False,
+            method="decode",
+        )
+
+    return predict

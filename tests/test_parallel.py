@@ -274,3 +274,85 @@ class TestShardedSolverStep:
         np.testing.assert_allclose(
             np.asarray(fb), np.asarray(fa), atol=1e-6
         )
+
+
+class TestPipelineRealTrunk:
+    """VERDICT r1 item 7: pipeline parallelism on the REAL chaos trunk —
+    stacked ChaosTransformerLayer params through pipeline_apply, equality vs
+    the sequential trunk, plus the full pipelined predictor."""
+
+    def _model_and_vars(self):
+        from smokephysai_tpu.models import SmokePhysNet
+
+        model = SmokePhysNet(
+            input_dim=32, hidden_dim=64, num_layers=6, num_heads=4,
+            output_channels=16,
+        )
+        x = jax.random.uniform(jax.random.PRNGKey(0), (4, 64, 64, 1))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(1), "chaos": jax.random.PRNGKey(2)},
+            x, train=False,
+        )
+        return model, variables, x
+
+    def test_pipelined_trunk_equals_sequential(self):
+        from smokephysai_tpu.models.net import ChaosTransformerLayer
+        from smokephysai_tpu.parallel.mesh import make_mesh
+        from smokephysai_tpu.parallel.pipeline import (
+            pipeline_apply, stack_layer_params,
+        )
+
+        model, variables, x = self._model_and_vars()
+        mesh = make_mesh(model=2)  # 2 stages x 3 layers
+        feats = model.apply(variables, x, False, method="encode")
+
+        num_stages, lps = 2, 3
+        stacked = stack_layer_params(variables["params"], 6, num_stages)
+        layer_module = ChaosTransformerLayer(64, 4, 0.1)
+        base_key = jax.random.PRNGKey(7)
+
+        def stage_fn(stage_params, h):
+            stage = jax.lax.axis_index("model")
+            for j in range(lps):
+                p_j = jax.tree_util.tree_map(lambda t: t[j], stage_params)
+                k_j = jax.random.fold_in(base_key, stage * lps + j)
+                h = layer_module.apply({"params": p_j}, h, True, k_j)
+            return h
+
+        M = 2  # microbatches
+        out_pipe = pipeline_apply(stacked, feats, stage_fn, mesh, M, "model")
+
+        # sequential comparator with identical per-(layer, microbatch) keys:
+        # the pipeline draws the Lorenz init per microbatch, so apply the
+        # layers per microbatch and concatenate
+        mb = feats.shape[0] // M
+        chunks = []
+        for m in range(M):
+            h = feats[m * mb : (m + 1) * mb]
+            for i in range(6):
+                p_i = variables["params"][f"layer_{i}"]
+                k_i = jax.random.fold_in(base_key, i)
+                h = layer_module.apply({"params": p_i}, h, True, k_i)
+            chunks.append(h)
+        out_seq = jnp.concatenate(chunks)
+
+        np.testing.assert_allclose(
+            np.asarray(out_pipe), np.asarray(out_seq), atol=1e-5
+        )
+
+    def test_pipelined_predictor_end_to_end(self):
+        from smokephysai_tpu.parallel.mesh import make_mesh
+        from smokephysai_tpu.train.serving import make_pipelined_predictor
+
+        model, variables, x = self._model_and_vars()
+        mesh = make_mesh(model=6)  # one layer per stage
+        predict = make_pipelined_predictor(model, variables, mesh)
+        out = predict(x)
+        assert out["reconstructed"].shape == (4, 64, 64, 1)
+        assert out["physics_features"].shape == (4, 3)
+        assert np.isfinite(np.asarray(out["reconstructed"])).all()
+        # deterministic across calls (fixed chaos seed)
+        out2 = predict(x)
+        np.testing.assert_array_equal(
+            np.asarray(out["reconstructed"]), np.asarray(out2["reconstructed"])
+        )

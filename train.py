@@ -21,6 +21,11 @@ def main():
         help="Path to experiment dir or checkpoint to resume from; "
         "'auto' resumes the most recent experiment (elastic restart)",
     )
+    parser.add_argument(
+        "--init_from", type=str, default=None,
+        help="Initialise params/batch_stats from an .npz checkpoint export "
+        "(fresh optimiser state) — fine-tuning, e.g. 128^2 -> 512^2",
+    )
     args = parser.parse_args()
 
     from smokephysai_tpu.utils.config import load_config
@@ -83,6 +88,7 @@ def main():
         exp_dir,
         writer=writer,
         resume_from=args.resume,
+        init_from=args.init_from,
     )
 
     print("Training completed!")
