@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""SmokePhysAI-TPU evaluation CLI: robustness + perturbation test suite.
+
+Exposes the L3 evaluation layer (eval/robustness.py, eval/perturbation.py —
+re-designs of reference src/evaluation/robustness_metrics.py:9-103 and
+perturbation_tests.py:8-143, which no reference CLI ever imports) as a
+runnable report:
+
+  python evaluate.py --checkpoint checkpoints/smokephysnet_128_best.npz \
+      [--config config/config.yaml] [--num_samples 50] \
+      [--output evaluation_results.json]
+
+Report sections:
+  physics_consistency   per-feature MAE of predicted chaos features
+  reconstruction        SSIM / PSNR / MSE vs next-frame targets
+  gaussian_noise        latent cosine stability + recon MSE per noise level
+  adversarial           PGD feature stability + perturbation norm
+  physics_perturbation  prediction stability over random sim scenarios
+"""
+import argparse
+import json
+
+
+def run_evaluation(
+    config: dict,
+    checkpoint: str,
+    num_samples: int = 50,
+    num_physics_tests: int = 50,
+) -> dict:
+    """Build the full robustness/perturbation report for a checkpoint."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smokephysai_tpu.data.synthetic import SyntheticSmokeDataset
+    from smokephysai_tpu.eval.perturbation import PerturbationTester
+    from smokephysai_tpu.eval.robustness import RobustnessEvaluator
+    from smokephysai_tpu.train.serving import load_model, make_predictor
+
+    grid_size = tuple(config["data"]["grid_size"])
+    model, variables = load_model(config, checkpoint)
+    predict = make_predictor(model, variables, chaos_seed=config["tpu"].get("seed", 0))
+
+    # Held-out episodes: same generator as training/benchmark val splits but
+    # a distinct seed stream (seed+2; val uses seed+1 in create_data_loaders).
+    ds = SyntheticSmokeDataset(
+        num_samples=num_samples,
+        grid_size=grid_size,
+        sequence_length=config["data"]["sequence_length"],
+        seed=config["tpu"].get("seed", 0) + 2,
+        use_pallas=config["tpu"].get("use_pallas", False),
+        vorticity_eps=config["tpu"].get("vorticity_eps", 0.0),
+    )
+    # one mid-sequence frame per episode, next frame as target
+    t = config["data"]["sequence_length"] // 2
+    seqs = np.asarray(ds.data["sequences"])  # [N, T, H, W]
+    inputs = jnp.asarray(seqs[:, t][..., None])  # NHWC
+    targets = jnp.asarray(seqs[:, t + 1][..., None])
+    chaos = np.asarray(ds.data["chaos"])  # [N, 3] lyapunov/fractal/entropy
+
+    report = {}
+
+    evaluator = RobustnessEvaluator()
+    report["physics_consistency"] = evaluator.evaluate_physics_consistency(
+        predict, inputs,
+        {
+            "lyapunov": chaos[:, 0],
+            "fractal_dimension": chaos[:, 1],
+            "entropy": chaos[:, 2],
+        },
+    )
+    report["reconstruction"] = evaluator.evaluate_reconstruction_quality(
+        predict, inputs, targets
+    )
+
+    tester = PerturbationTester()
+    report["gaussian_noise"] = tester.gaussian_noise_test(
+        predict, inputs, key=jax.random.PRNGKey(config["tpu"].get("seed", 0))
+    )
+    report["adversarial"] = tester.adversarial_test(predict, inputs)
+    report["physics_perturbation"] = tester.physics_perturbation_test(
+        predict,
+        grid_size=grid_size,
+        num_tests=num_physics_tests,
+        num_steps=config["data"]["sequence_length"],
+        key=jax.random.PRNGKey(config["tpu"].get("seed", 0) + 3),
+        dt=config["simulation"]["dt"],
+        viscosity=config["simulation"]["viscosity"],
+    )
+    return report
+
+
+def main():
+    parser = argparse.ArgumentParser(description="SmokePhysAI-TPU Evaluation")
+    parser.add_argument("--config", type=str, default="config/config.yaml")
+    parser.add_argument(
+        "--checkpoint", type=str, required=True,
+        help="Experiment dir (Orbax) or .npz checkpoint export",
+    )
+    parser.add_argument(
+        "--num_samples", type=int, default=50,
+        help="Evaluation episodes to generate",
+    )
+    parser.add_argument(
+        "--num_physics_tests", type=int, default=50,
+        help="Random sim scenarios for the physics stability test "
+        "(reference perturbation_tests.py:99)",
+    )
+    parser.add_argument(
+        "--output", type=str, default="evaluation_results.json",
+        help="Where to write the JSON report",
+    )
+    args = parser.parse_args()
+
+    import jax
+
+    from smokephysai_tpu.utils.config import load_config
+
+    config = load_config(args.config)
+    print(f"Using devices: {jax.devices()}")
+
+    report = run_evaluation(
+        config, args.checkpoint, args.num_samples, args.num_physics_tests
+    )
+
+    print(json.dumps(report, indent=2))
+    with open(args.output, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"Report written to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

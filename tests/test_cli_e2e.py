@@ -165,3 +165,29 @@ def test_attention_map_visualization(tmp_path):
     img = _np.random.default_rng(1).random((1, 8, 8, 1)).astype(_np.float32)
     viz.plot_attention_maps(attn, img, save_path=str(tmp_path / "attn.png"))
     assert (tmp_path / "attn.png").exists()
+
+
+def test_evaluate_cli(trained_exp_dir, tmp_path):
+    """evaluate.py report: all five sections present with finite values
+    (L3 layer runnable end-to-end, unlike reference src/evaluation which no
+    CLI imports)."""
+    exp_dir, _ = trained_exp_dir
+    from evaluate import run_evaluation
+
+    report = run_evaluation(
+        CONFIG, exp_dir, num_samples=4, num_physics_tests=3
+    )
+    assert set(report) == {
+        "physics_consistency", "reconstruction", "gaussian_noise",
+        "adversarial", "physics_perturbation",
+    }
+    assert {"lyapunov_mae", "fractal_mae", "entropy_mae"} <= set(
+        report["physics_consistency"]
+    )
+    assert np.isfinite(report["reconstruction"]["mse"])
+    assert 0.0 < report["reconstruction"]["ssim"] <= 1.0
+    for level_results in report["gaussian_noise"].values():
+        assert np.isfinite(level_results["feature_stability"])
+    assert np.isfinite(report["adversarial"]["adversarial_perturbation_norm"])
+    assert 0.0 < report["physics_perturbation"][
+        "physics_prediction_stability"] <= 1.0
