@@ -70,21 +70,63 @@ def bench_inference(compute_dtype="float32"):
 
 
 def bench_sim(grid=256, steps=100, use_pallas=False):
+    """steps/s of the scan-fused solver loop, ONE jitted call per timing.
+    At the default steps=100 this includes the ~30 ms axon-tunnel dispatch
+    (an honest per-call serving number but dispatch-dominated)."""
     import jax
 
-    from smokephysai_tpu.physics import init_state
+    from smokephysai_tpu.physics import add_smoke_source, init_state
     from smokephysai_tpu.physics.solver import multi_step
 
     state = init_state((grid, grid))
+    state = state.replace(
+        density=add_smoke_source(state.density, grid / 2, grid / 2, 10.0, 1.5)
+    )
     # warm-up / compile with the SAME scan length as the timed run
     s, _ = multi_step(state, steps, use_pallas=use_pallas)
-    jax.block_until_ready(s.density)
+    float(s.density.sum())  # scalar readback, not block_until_ready (tunnel)
 
     t0 = time.perf_counter()
     s, _ = multi_step(state, steps, use_pallas=use_pallas)
-    jax.block_until_ready(s.density)
+    float(s.density.sum())
     dt = time.perf_counter() - t0
     return steps / dt
+
+
+def bench_sim_compute(grid=256, use_pallas=False):
+    """Pure per-step COMPUTE rate, dispatch excluded by slope timing: time
+    multi-step programs of 200 and 1200 steps (trajectory-free fori_loop over
+    solver.step) and divide the difference. This is the number the fused
+    whole-episode Pallas kernel is judged on."""
+    import jax
+    from jax import lax
+
+    from smokephysai_tpu.physics import add_smoke_source, init_state
+    from smokephysai_tpu.physics.solver import step
+
+    state = init_state((grid, grid))
+    state = state.replace(
+        density=add_smoke_source(state.density, grid / 2, grid / 2, 10.0, 1.5)
+    )
+
+    def run(n):
+        f = jax.jit(
+            lambda s: lax.fori_loop(
+                0, n, lambda _, c: step(c, use_pallas=use_pallas), s
+            )
+        )
+        s = f(state)
+        float(s.density.sum())
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s = f(state)
+            float(s.density.sum())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t200, t1200 = run(200), run(1200)
+    return 1000.0 / (t1200 - t200)
 
 
 def bench_streaming(grid=1024, frames=30):
@@ -146,6 +188,15 @@ def main():
         extra["sim_steps_per_sec_256_pallas"] = round(bench_sim(use_pallas=True), 1)
     except Exception as e:  # pragma: no cover
         extra["sim_pallas_error"] = str(e)[:200]
+    try:
+        extra["sim_compute_steps_per_sec_256_xla"] = round(
+            bench_sim_compute(use_pallas=False), 1
+        )
+        extra["sim_compute_steps_per_sec_256_fused"] = round(
+            bench_sim_compute(use_pallas=True), 1
+        )
+    except Exception as e:  # pragma: no cover
+        extra["sim_compute_error"] = str(e)[:200]
     try:
         extra["streaming_fps_1024"] = round(bench_streaming(), 1)
     except Exception as e:  # pragma: no cover

@@ -22,7 +22,7 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
+
 
 from . import chaos as chaos_mod
 from . import solver
@@ -137,6 +137,7 @@ class SmokeSimulator:
         "grid_size",
         "num_steps",
         "num_jacobi_iters",
+        "vorticity_eps",
         "use_pallas",
         "max_sources",
     ),
@@ -182,18 +183,19 @@ def simulate_episode(
 
     fractal = jnp.asarray(fractal_field(tuple(grid_size)))
 
-    def body(s, _):
-        s = solver.step(
-            s,
-            dt=dt,
-            viscosity=viscosity,
-            num_jacobi_iters=num_jacobi_iters,
-            vorticity_eps=vorticity_eps,
-            use_pallas=use_pallas,
-        )
-        frame = apply_fractal_perturbation(s.density, FRACTAL_INTENSITY, fractal)
-        return s, frame
-
-    _, sequence = lax.scan(body, state, None, length=num_steps)
+    # the time loop lives in solver.multi_step (fused whole-episode Pallas
+    # kernel when the grid + trajectory fit VMEM); the fractal perturbation
+    # is elementwise, so applying it to the stacked [T, H, W] trajectory is
+    # identical to the reference's per-frame application
+    _, sequence = solver.multi_step(
+        state,
+        num_steps,
+        dt=dt,
+        viscosity=viscosity,
+        num_jacobi_iters=num_jacobi_iters,
+        vorticity_eps=vorticity_eps,
+        use_pallas=use_pallas,
+    )
+    sequence = apply_fractal_perturbation(sequence, FRACTAL_INTENSITY, fractal)
     label = chaos_mod.chaos_features_from_sequence(sequence)
     return sequence, label

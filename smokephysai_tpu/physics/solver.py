@@ -280,7 +280,7 @@ def vorticity_confinement(state: SimState, dt: float, eps: float) -> SimState:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_jacobi_iters", "use_pallas"),
+    static_argnames=("num_jacobi_iters", "vorticity_eps", "use_pallas"),
 )
 def step(
     state: SimState,
@@ -293,9 +293,23 @@ def step(
     """One solver step: buoyancy → diffusion → projection → advection →
     decay (reference navier_stokes.py:151-173, order preserved exactly).
 
-    `use_pallas=True` routes the Jacobi solve + diffusion through the fused
-    Pallas TPU kernels (ops/pallas); numerics match the XLA path.
+    `use_pallas=True` routes the whole step through ONE fused VMEM-resident
+    Pallas kernel when the grid fits and vorticity confinement is off
+    (ops/pallas/fused_step.py), else through the per-op Jacobi/diffusion
+    kernels; numerics match the XLA path either way. `vorticity_eps` is a
+    trace-time constant (config value) so the fused-path choice and the
+    confinement branch compile away.
     """
+    if use_pallas and vorticity_eps == 0.0:
+        from smokephysai_tpu.ops.pallas import fused_step as _pf
+
+        if _pf.fits_fused_step(state.density.shape):
+            u, v, p, d = _pf.fused_step_pallas(
+                state.u, state.v, state.p, state.density,
+                dt, viscosity, num_jacobi_iters,
+            )
+            return state.replace(u=u, v=v, p=p, density=d)
+
     jacobi_fn = None
     diffuse_fn = diffuse
     if use_pallas:
@@ -312,12 +326,8 @@ def step(
     state = state.replace(v=v)
 
     # optional vorticity confinement (off by default for reference parity)
-    state = lax.cond(
-        vorticity_eps > 0.0,
-        lambda s: vorticity_confinement(s, dt, vorticity_eps),
-        lambda s: s,
-        state,
-    )
+    if vorticity_eps > 0.0:
+        state = vorticity_confinement(state, dt, vorticity_eps)
 
     # 2. diffusion (navier_stokes.py:158-160)
     state = state.replace(
@@ -341,7 +351,9 @@ def step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_steps", "num_jacobi_iters", "use_pallas"),
+    static_argnames=(
+        "num_steps", "num_jacobi_iters", "vorticity_eps", "use_pallas"
+    ),
 )
 def multi_step(
     state: SimState,
@@ -354,7 +366,21 @@ def multi_step(
 ) -> Tuple[SimState, Array]:
     """`lax.scan` over `num_steps` solver steps; returns the final state and
     the stacked density trajectory [T, H, W]. This is the fused time loop
-    the eager reference cannot express (SURVEY.md §7, layer 1a)."""
+    the eager reference cannot express (SURVEY.md §7, layer 1a).
+
+    With `use_pallas` (and no vorticity confinement) the ENTIRE time loop
+    runs inside one VMEM-resident Pallas kernel when state + trajectory fit
+    — the fields never touch HBM between steps (ops/pallas/fused_step.py).
+    """
+    if use_pallas and vorticity_eps == 0.0:
+        from smokephysai_tpu.ops.pallas import fused_step as _pf
+
+        if _pf.fits_fused_step(state.density.shape, traj_steps=num_steps):
+            (u, v, p, d), traj = _pf.fused_multi_step_pallas(
+                state.u, state.v, state.p, state.density,
+                num_steps, dt, viscosity, num_jacobi_iters,
+            )
+            return state.replace(u=u, v=v, p=p, density=d), traj
 
     def body(s, _):
         s = step(

@@ -93,3 +93,66 @@ def test_flash_attention_temperature():
     expected = jnp.einsum("bhij,bhjd->bhid", jax.nn.softmax(scores, -1), v)
     got = flash_attention(q, k, v, temperature=1.5, block_q=64, block_k=64)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+
+
+def test_fused_step_kernel_matches_xla():
+    """Whole-step fused kernel == solver.step pipeline (buoyancy through
+    decay) on a developed flow."""
+    from smokephysai_tpu.ops.pallas.fused_step import fused_step_pallas
+
+    s = init_state((64, 64))
+    s = s.replace(density=add_smoke_source(s.density, 30.0, 28.0, intensity=1.5))
+    for _ in range(3):
+        s = step(s)
+    ref = step(s)
+    u, v, p, d = fused_step_pallas(s.u, s.v, s.p, s.density, 0.01, 0.001)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(ref.u), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref.v), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(ref.p), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(d), np.asarray(ref.density), atol=1e-6
+    )
+
+
+def test_fused_multi_step_kernel_matches_scan():
+    """Whole-episode kernel (time loop in VMEM) == scan of XLA steps,
+    including the recorded density trajectory."""
+    from smokephysai_tpu.physics.solver import multi_step
+    from smokephysai_tpu.ops.pallas.fused_step import fused_multi_step_pallas
+
+    s = init_state((64, 64))
+    s = s.replace(density=add_smoke_source(s.density, 20.0, 40.0, intensity=2.0))
+    ref_state, ref_traj = multi_step(s, 6)
+    (u, v, p, d), traj = fused_multi_step_pallas(s.u, s.v, s.p, s.density, 6)
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(ref_traj), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_state.density), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(ref_state.p), atol=1e-4)
+
+
+def test_multi_step_use_pallas_routes_fused():
+    """solver.multi_step(use_pallas=True) equals the XLA path (it fuses the
+    whole episode when state + trajectory fit VMEM)."""
+    from smokephysai_tpu.physics.solver import multi_step
+
+    s = init_state((64, 64))
+    s = s.replace(density=add_smoke_source(s.density, 32.0, 32.0, intensity=1.0))
+    ref_state, ref_traj = multi_step(s, 5, use_pallas=False)
+    got_state, got_traj = multi_step(s, 5, use_pallas=True)
+    np.testing.assert_allclose(
+        np.asarray(got_traj), np.asarray(ref_traj), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_state.u), np.asarray(ref_state.u), atol=1e-6
+    )
+
+
+def test_jacobi_tiled_beyond_vmem_bit_exact():
+    """1024^2 exceeds the whole-grid VMEM budget; the overlapping-halo
+    row-striped kernel must be BIT-exact vs the global XLA sweep (a
+    num_iters-deep halo reproduces the sweep-by-sweep dependency cone)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    p = jax.random.normal(k1, (1024, 1024))
+    div = jax.random.normal(k2, (1024, 1024))
+    ref = jacobi_pressure(p, div, 20)
+    got = jacobi_pressure_pallas(p, div, 20)
+    assert bool(jnp.all(got == ref))
