@@ -73,6 +73,8 @@ class ChaosAttention(nn.Module):
     chaos_strength: float = 0.1
     temperature: float = 1.0
     dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 for MXU fast path)
+    out_dtype: jnp.dtype = jnp.float32  # residual-stream dtype; fast_math
+    # serving keeps it == dtype (bf16) to halve trunk HBM traffic
     use_flash: bool = False  # Pallas blockwise attention (ops/pallas/attention)
     ring_axis: str | None = None  # mesh axis for ring attention (SP/CP); the
     # token axis is sharded over this axis and K/V rotate via ppermute
@@ -117,16 +119,17 @@ class ChaosAttention(nn.Module):
                 temperature=self.temperature,
             )
             out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
-            return dense(D, "out_proj")(out).astype(jnp.float32)
+            return dense(D, "out_proj")(out).astype(self.out_dtype)
 
         if self.use_flash and mask is None:
-            from smokephysai_tpu.ops.pallas.attention import flash_attention
+            from smokephysai_tpu.ops.pallas.attention import flash_attention_tokens
 
-            out = flash_attention(
-                split(q_eff), split(k), split(v), temperature=self.temperature
+            # token-major [B, L, D] path: no head split/merge transposes
+            # around the kernel (see flash_attention_tokens)
+            out = flash_attention_tokens(
+                q_eff, k, v, num_heads=h, temperature=self.temperature
             )
-            out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
-            return dense(D, "out_proj")(out).astype(jnp.float32)
+            return dense(D, "out_proj")(out).astype(self.out_dtype)
 
         scores = jnp.einsum(
             "bhid,bhjd->bhij", split(q_eff), split(k),
@@ -145,4 +148,4 @@ class ChaosAttention(nn.Module):
             preferred_element_type=jnp.float32,
         )
         out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
-        return dense(D, "out_proj")(out).astype(jnp.float32)
+        return dense(D, "out_proj")(out).astype(self.out_dtype)

@@ -51,6 +51,9 @@ class ChaosTransformerLayer(nn.Module):
     chaos_strength: float = 0.1
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    fast_math: bool = False  # keep the residual stream in `dtype` (bf16):
+    # halves trunk HBM traffic on the serving path. Documented divergence —
+    # the parity path keeps the residual in f32 like the torch reference.
     use_flash: bool = False
     ring_axis: str | None = None
     ring_mesh: object = None
@@ -62,22 +65,28 @@ class ChaosTransformerLayer(nn.Module):
         deterministic: bool = False,
         chaos_key: Array | None = None,
     ) -> Array:
+        res_dtype = self.dtype if self.fast_math else jnp.float32
         attn = ChaosAttention(
             self.dim, self.num_heads, self.chaos_strength, dtype=self.dtype,
+            out_dtype=res_dtype,
             use_flash=self.use_flash, ring_axis=self.ring_axis,
             ring_mesh=self.ring_mesh,
             name="chaos_attention",
         )
+        x = x.astype(res_dtype)
         x = x + attn(
             nn.LayerNorm(epsilon=1e-5, name="norm1")(x), chaos_key=chaos_key
         )
 
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = TorchDense(4 * self.dim, dtype=self.dtype, name="ffn_in")(y)
-        y = jax.nn.gelu(y, approximate=False)  # torch nn.GELU default
+        # torch nn.GELU default is the exact erf form; erf costs ~2 ms/layer
+        # of VPU time at batch 64 on v5e, so fast_math uses the tanh approx
+        # (max |delta| ~3e-4, below bf16 resolution)
+        y = jax.nn.gelu(y, approximate=self.fast_math)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         y = TorchDense(self.dim, dtype=self.dtype, name="ffn_out")(y)
-        y = y.astype(jnp.float32)  # residual stream stays f32
+        y = y.astype(res_dtype)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         return x + y
 
@@ -98,6 +107,8 @@ class SmokePhysNet(nn.Module):
     dtype: jnp.dtype = jnp.float32  # compute dtype; bfloat16 = MXU fast path
     remat: bool = False  # jax.checkpoint each transformer block (activation
     # memory ~ 1 block instead of num_layers; for big batches / 1024^2 grids)
+    fast_math: bool = False  # bf16 residual stream in the trunk (serving
+    # fast path; see ChaosTransformerLayer.fast_math)
     use_flash: bool = False  # route attention through the Pallas flash
     # kernel (ops/pallas/attention.py); inference/eval path — the kernel has
     # no custom VJP, so training keeps the einsum path
@@ -130,6 +141,7 @@ class SmokePhysNet(nn.Module):
                     self.num_heads,
                     self.chaos_strength,
                     dtype=self.dtype,
+                    fast_math=self.fast_math,
                     use_flash=self.use_flash,
                     ring_axis=self.ring_axis,
                     ring_mesh=self.ring_mesh,
@@ -176,7 +188,9 @@ class SmokePhysNet(nn.Module):
         params through parallel/pipeline.pipeline_apply."""
         for i in range(self.num_layers):
             feats = getattr(self, f"layer_{i}")(feats, not train)
-        return feats
+        # decode/heads contract stays f32 regardless of the trunk's
+        # residual dtype (fast_math)
+        return feats.astype(jnp.float32)
 
     def decode(
         self,

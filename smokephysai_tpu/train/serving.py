@@ -40,6 +40,7 @@ def build_model(
         bn_axis_name=bn_axis_name,
         dtype=dtype,
         use_flash=tpu_cfg.get("use_flash", False),
+        fast_math=tpu_cfg.get("fast_math", False),
         ring_axis=ring_axis,
         ring_mesh=mesh if ring_axis is not None else None,
     )

@@ -51,6 +51,7 @@ DEFAULTS: Dict[str, Any] = {
         "vorticity_eps": 0.0,
         "compute_dtype": "float32",  # 'bfloat16' = MXU fast path for serving
         "use_flash": False,   # Pallas flash attention on the serving path
+        "fast_math": False,   # bf16 residual stream in the trunk (serving)
         "ring_axis": None,    # mesh axis for ring attention (e.g. 'space')
         "pipeline_axis": None,  # mesh axis for pipeline-parallel trunk
     },

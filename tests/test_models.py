@@ -315,3 +315,55 @@ def test_large_grid_forward():
     out = model.apply(variables, x, train=False,
                       rngs={"chaos": jax.random.PRNGKey(2)})
     assert out["reconstructed"].shape == (1, 256, 256, 1)
+
+
+class TestTokenMajorFlashKernel:
+    """flash_attention_tokens: the no-transpose [B, L, D] multi-head kernel
+    used by the serving path (ops/pallas/attention.py)."""
+
+    def test_equals_naive_multihead_softmax(self):
+        from smokephysai_tpu.ops.pallas.attention import flash_attention_tokens
+
+        B, L, H, hd = 2, 256, 4, 32
+        D = H * hd
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(ks[0], (B, L, D))
+        k = jax.random.normal(ks[1], (B, L, D))
+        v = jax.random.normal(ks[2], (B, L, D))
+
+        out = flash_attention_tokens(q, k, v, num_heads=H, block_q=64,
+                                     block_k=128)
+
+        # naive reference per head-slice (torch head convention)
+        qh = q.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+        kh = k.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+        vh = v.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+        s = jnp.einsum("bhid,bhjd->bhij", qh, kh) / jnp.sqrt(jnp.float32(hd))
+        ref = jnp.einsum("bhij,bhjd->bhid", jax.nn.softmax(s, axis=-1), vh)
+        ref = ref.transpose(0, 2, 1, 3).reshape(B, L, D)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fast_math_close_to_reference_path():
+    """fast_math (bf16 residual + tanh GELU) is a serving-only approximation:
+    outputs must stay within bf16-resolution distance of the parity path."""
+    kwargs = dict(input_dim=32, hidden_dim=64, num_layers=2, num_heads=4,
+                  output_channels=16)
+    model = SmokePhysNet(**kwargs, dtype=jnp.bfloat16)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "chaos": jax.random.PRNGKey(2)},
+        x, train=False,
+    )
+    rngs = {"chaos": jax.random.PRNGKey(3)}
+    out_ref = model.apply(variables, x, train=False, rngs=rngs)
+    out_fast = SmokePhysNet(**kwargs, dtype=jnp.bfloat16, fast_math=True).apply(
+        variables, x, train=False, rngs=rngs
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fast["reconstructed"]),
+        np.asarray(out_ref["reconstructed"]),
+        atol=2e-2,
+    )
+    assert out_ref["latent_features"].dtype == jnp.float32
+    assert out_fast["latent_features"].dtype == jnp.float32
