@@ -12,6 +12,7 @@ Secondary metrics in "extra": simulation throughput (steps/sec at 256^2,
 the BASELINE.json tracked metric) for both the XLA and Pallas solver paths.
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -129,7 +130,7 @@ def bench_sim_compute(grid=256, use_pallas=False):
     return 1000.0 / (t1200 - t200)
 
 
-def bench_streaming(grid=1024, frames=30):
+def bench_streaming(grid=1024, frames=30, use_flash=False, fast_math=False):
     """Fused sim+encode streaming rollout fps at `grid`^2 (BASELINE.json
     configs[4]: 'Streaming 30fps 1024x1024 video')."""
     import jax
@@ -148,7 +149,11 @@ def bench_streaming(grid=1024, frames=30):
             "output_channels": 64,
             "chaos_strength": 0.1,
         },
-        "tpu": {"compute_dtype": "bfloat16"},
+        "tpu": {
+            "compute_dtype": "bfloat16",
+            "use_flash": use_flash,
+            "fast_math": fast_math,
+        },
     }
     model = build_model(config)
     x = jnp.zeros((1, grid, grid, 1), jnp.float32)
@@ -172,23 +177,32 @@ def bench_streaming(grid=1024, frames=30):
     return frames / (time.perf_counter() - t0)
 
 
+def _mark(name):
+    print(f"[bench] {name} @ {time.strftime('%H:%M:%S')}", file=sys.stderr, flush=True)
+
+
 def main():
+    _mark("inference f32")
     pipelined_ms, p50_sync_ms = bench_inference()
     extra = {"p50_frame_inference_ms_percall": round(p50_sync_ms, 3)}
     try:
+        _mark("inference bf16")
         bf16_pipe, bf16_sync = bench_inference("bfloat16")
         extra["frame_inference_ms_bf16"] = round(bf16_pipe, 3)
     except Exception as e:  # pragma: no cover
         extra["bf16_error"] = str(e)[:200]
     try:
+        _mark("sim xla")
         extra["sim_steps_per_sec_256_xla"] = round(bench_sim(use_pallas=False), 1)
     except Exception as e:  # pragma: no cover
         extra["sim_xla_error"] = str(e)[:200]
     try:
+        _mark("sim pallas")
         extra["sim_steps_per_sec_256_pallas"] = round(bench_sim(use_pallas=True), 1)
     except Exception as e:  # pragma: no cover
         extra["sim_pallas_error"] = str(e)[:200]
     try:
+        _mark("sim compute")
         extra["sim_compute_steps_per_sec_256_xla"] = round(
             bench_sim_compute(use_pallas=False), 1
         )
@@ -198,39 +212,87 @@ def main():
     except Exception as e:  # pragma: no cover
         extra["sim_compute_error"] = str(e)[:200]
     try:
+        # 128^3 volumetric sim rate (BASELINE configs[3]); tent-shift
+        # advection default — the trilinear gather ran at 1.76 steps/s
+        _mark("sim3d 128^3")
+        import jax as _j
+        from jax import lax as _lax
+
+        from smokephysai_tpu.physics.solver3d import (
+            add_smoke_source3d, init_state3d, step3d,
+        )
+
+        s3 = init_state3d((128, 128, 128))
+        s3 = s3.replace(
+            density=add_smoke_source3d(s3.density, 64.0, 64.0, 20.0, 10.0, 1.5)
+        )
+        n3 = 20
+        f3 = _j.jit(
+            lambda st: _lax.fori_loop(
+                0, n3, lambda _, c: step3d(c, num_cg_iters=30), st
+            )
+        )
+        float(f3(s3).density.sum())  # compile + warm
+        t0 = time.perf_counter()
+        float(f3(s3).density.sum())
+        extra["sim3d_steps_per_sec_128cubed"] = round(
+            n3 / (time.perf_counter() - t0), 1
+        )
+    except Exception as e:  # pragma: no cover
+        extra["sim3d_error"] = str(e)[:200]
+    try:
+        _mark("streaming")
         extra["streaming_fps_1024"] = round(bench_streaming(), 1)
+        extra["streaming_fps_1024_flash_fast"] = round(
+            bench_streaming(use_flash=True, fast_math=True), 1
+        )
     except Exception as e:  # pragma: no cover
         extra["streaming_error"] = str(e)[:200]
     try:
-        # serving throughput at batch 64 (amortises per-call dispatch)
+        # serving throughput at batch 64, pipelined (device throughput with
+        # per-call dispatch amortised — the tunnel adds ~25 ms per synced
+        # call, which a real serving queue never pays). Three variants:
+        # einsum parity path, Pallas token-major flash attention, and
+        # flash + fast_math (bf16 residual stream + tanh GELU).
         import jax as _jax
         import jax.numpy as _jnp
-        import numpy as _np
 
         from smokephysai_tpu.train.serving import build_model, make_predictor
 
-        cfg = {
-            "model": {
-                "input_dim": 128, "hidden_dim": 512, "num_layers": 6,
-                "num_heads": 8, "output_channels": 64, "chaos_strength": 0.1,
-            },
-            "tpu": {"compute_dtype": "bfloat16"},
-        }
-        m = build_model(cfg)
-        xb = _jnp.zeros((64, 128, 128, 1), _jnp.float32)
-        vs = m.init(
-            {"params": _jax.random.PRNGKey(0), "chaos": _jax.random.PRNGKey(1)},
-            xb, train=False,
-        )
-        pred = make_predictor(m, vs)
-        _jax.block_until_ready(pred(xb)["reconstructed"])
-        ts = []
-        for _ in range(20):
+        def batch64_fps(use_flash, fast_math):
+            cfg = {
+                "model": {
+                    "input_dim": 128, "hidden_dim": 512, "num_layers": 6,
+                    "num_heads": 8, "output_channels": 64,
+                    "chaos_strength": 0.1,
+                },
+                "tpu": {
+                    "compute_dtype": "bfloat16", "use_flash": use_flash,
+                    "fast_math": fast_math,
+                },
+            }
+            m = build_model(cfg)
+            xb = _jnp.zeros((64, 128, 128, 1), _jnp.float32)
+            vs = m.init(
+                {"params": _jax.random.PRNGKey(0),
+                 "chaos": _jax.random.PRNGKey(1)},
+                xb, train=False,
+            )
+            pred = make_predictor(m, vs)
+            float(pred(xb)["reconstructed"].sum())  # warm + readback
+            reps = 30
             t0 = time.perf_counter()
-            _jax.block_until_ready(pred(xb)["reconstructed"])
-            ts.append(time.perf_counter() - t0)
-        extra["throughput_fps_batch64_bf16"] = round(
-            64.0 / float(_np.percentile(ts, 50)), 1
+            outs = [pred(xb)["reconstructed"] for _ in range(reps)]
+            float(outs[-1].sum())  # scalar readback (tunnel-safe sync)
+            return reps * 64.0 / (time.perf_counter() - t0)
+
+        _mark("batch64")
+        extra["throughput_fps_batch64_bf16"] = round(batch64_fps(False, False), 1)
+        extra["throughput_fps_batch64_bf16_flash"] = round(
+            batch64_fps(True, False), 1
+        )
+        extra["throughput_fps_batch64_bf16_flash_fast"] = round(
+            batch64_fps(True, True), 1
         )
     except Exception as e:  # pragma: no cover
         extra["batch64_error"] = str(e)[:200]

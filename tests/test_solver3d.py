@@ -98,3 +98,41 @@ def test_simulate_episode3d():
     ent = float(shannon_entropy(seq[-1]))
     assert 0.0 < fd < 3.5  # box-counting dimension of a 3D set
     assert ent >= 0.0
+
+
+def test_tent_shift_equals_trilinear_gather():
+    """The gather-free tent-shift path (max_disp=1, the default) must equal
+    the general trilinear-gather path on realistic backtrace displacements,
+    including cells clamped at the boundary."""
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 4)
+    d = h = w = 12
+    field = jax.random.uniform(ks[0], (d, h, w))
+    # up to 0.9-cell displacements (sim peaks ~6e-4; stress the headroom)
+    uc = 90.0 * jax.random.normal(ks[1], (d, h, w))
+    vc = 90.0 * jax.random.normal(ks[2], (d, h, w))
+    wc = 90.0 * jax.random.normal(ks[3], (d, h, w))
+    uc = jnp.clip(uc, -90, 90)
+    vc = jnp.clip(vc, -90, 90)
+    wc = jnp.clip(wc, -90, 90)
+    out_tent = advect3d(field, uc, vc, wc, dt=0.01, max_disp=1)
+    out_gather = advect3d(field, uc, vc, wc, dt=0.01, max_disp=0)
+    np.testing.assert_allclose(
+        np.asarray(out_tent), np.asarray(out_gather), atol=1e-6
+    )
+
+
+def test_step3d_tent_matches_gather_path():
+    """Full 3D step with the default tent advection vs the gather path."""
+    s = init_state3d((12, 12, 12))
+    s = s.replace(density=add_smoke_source3d(s.density, 6.0, 6.0, 3.0, 3.0, 1.0))
+    for _ in range(3):
+        s = step3d(s, num_cg_iters=20)  # builds up velocity
+    out_tent = step3d(s, num_cg_iters=20, max_disp=1)
+    out_gather = step3d(s, num_cg_iters=20, max_disp=0)
+    np.testing.assert_allclose(
+        np.asarray(out_tent.density), np.asarray(out_gather.density), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_tent.u), np.asarray(out_gather.u), atol=1e-6
+    )
