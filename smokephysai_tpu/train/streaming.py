@@ -108,3 +108,71 @@ def streaming_rollout(
         }
 
     return lax.scan(body, state, None, length=num_frames)
+
+
+def streaming_rollout_sharded(
+    model,
+    variables: Dict,
+    state: SimState,
+    num_frames: int,
+    mesh,
+    axis_name: str = "space",
+    dt: float = 0.01,
+    viscosity: float = 0.001,
+    num_jacobi_iters: int = 20,
+    max_disp: int = 2,
+    chaos_seed: int = 0,
+):
+    """`streaming_rollout` with the simulation grid row-sharded over a mesh
+    axis — the scale-out path for grids past one chip's HBM/VMEM comfort
+    zone (>4k^2). The solver step runs fully domain-decomposed
+    (parallel/sharded_solver.py: explicit ppermute halos, numerics equal to
+    solver.step); the model forward stays a plain `model.apply` on the
+    row-sharded frame and lets GSPMD partition it — the encoder convs are
+    spatially local, so XLA inserts the windowed halo exchanges itself,
+    and the tiny token trunk/heads replicate.
+
+    Equality vs the single-device rollout is tested on the 8-virtual-device
+    CPU mesh (tests/test_streaming.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from smokephysai_tpu.parallel.sharded_solver import sharded_step
+
+    chaos_key = jax.random.PRNGKey(chaos_seed)
+    grid = state.density.shape
+    fractal = jnp.asarray(fractal_field(grid))
+
+    row = NamedSharding(mesh, P(axis_name, None))
+    rep = NamedSharding(mesh, P(None, None))
+    # u has h+1 rows (staggered) — it can't row-shard evenly; sharded_step
+    # moves it into the overlapped row layout itself, so hand it over
+    # replicated and let the first to_overlapped reshard it.
+    state = state.replace(
+        u=jax.device_put(state.u, rep),
+        v=jax.device_put(state.v, row),
+        p=jax.device_put(state.p, row),
+        density=jax.device_put(state.density, row),
+    )
+    fractal = jax.device_put(fractal, row)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def roll(s):
+        def body(s, _):
+            s = sharded_step(
+                s, mesh, dt=dt, viscosity=viscosity,
+                num_jacobi_iters=num_jacobi_iters, max_disp=max_disp,
+                axis_name=axis_name,
+            )
+            frame = s.density * (1.0 + FRACTAL_INTENSITY * fractal)
+            out = model.apply(
+                variables, frame[None, :, :, None], train=False,
+                rngs={"chaos": chaos_key},
+            )
+            return s, {
+                "physics_features": out["physics_features"][0],
+                "frame": frame,
+            }
+
+        return lax.scan(body, s, None, length=num_frames)
+
+    return roll(state)

@@ -72,3 +72,31 @@ def test_streaming_rollout_matches_stepwise(model_and_vars):
             np.asarray(outs["physics_features"][t]),
             atol=1e-5,
         )
+
+
+def test_streaming_rollout_sharded_matches_single_device(model_and_vars):
+    """Domain-decomposed streaming (>4k^2 scale-out path) must match the
+    single-device rollout on the 8-virtual-device CPU mesh."""
+    from smokephysai_tpu.parallel.mesh import make_mesh
+    from smokephysai_tpu.train.streaming import streaming_rollout_sharded
+
+    model, variables = model_and_vars
+    mesh = make_mesh(space=8)
+
+    final_ref, outs_ref = streaming_rollout(
+        model, variables, _seeded_state(), num_frames=3, use_pallas=False
+    )
+    final_sh, outs_sh = streaming_rollout_sharded(
+        model, variables, _seeded_state(), num_frames=3, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs_sh["frame"]), np.asarray(outs_ref["frame"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs_sh["physics_features"]),
+        np.asarray(outs_ref["physics_features"]),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(final_sh.density), np.asarray(final_ref.density), atol=1e-5
+    )
