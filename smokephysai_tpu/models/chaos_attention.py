@@ -76,9 +76,11 @@ class ChaosAttention(nn.Module):
     out_dtype: jnp.dtype = jnp.float32  # residual-stream dtype; fast_math
     # serving keeps it == dtype (bf16) to halve trunk HBM traffic
     use_flash: bool = False  # Pallas blockwise attention (ops/pallas/attention)
-    ring_axis: str | None = None  # mesh axis for ring attention (SP/CP); the
-    # token axis is sharded over this axis and K/V rotate via ppermute
+    ring_axis: str | None = None  # mesh axis for sequence parallelism; the
+    # token axis is sharded over this axis
     ring_mesh: object = None  # jax.sharding.Mesh for ring_axis (static field)
+    sp_impl: str = "ring"  # 'ring' = ppermute K/V rotation (any axis size);
+    # 'ulysses' = head-scatter all-to-all (needs num_heads % axis size == 0)
 
     @nn.compact
     def __call__(
@@ -108,7 +110,12 @@ class ChaosAttention(nn.Module):
         split = lambda t: t.reshape(B, L, h, hd).transpose(0, 2, 1, 3)
 
         if self.ring_axis is not None and mask is None:
-            from smokephysai_tpu.parallel.ring_attention import ring_attention
+            if self.sp_impl == "ulysses":
+                from smokephysai_tpu.parallel.ulysses_attention import (
+                    ulysses_attention as ring_attention,
+                )
+            else:
+                from smokephysai_tpu.parallel.ring_attention import ring_attention
 
             out = ring_attention(
                 split(q_eff),

@@ -57,6 +57,7 @@ class ChaosTransformerLayer(nn.Module):
     use_flash: bool = False
     ring_axis: str | None = None
     ring_mesh: object = None
+    sp_impl: str = "ring"
 
     @nn.compact
     def __call__(
@@ -70,7 +71,7 @@ class ChaosTransformerLayer(nn.Module):
             self.dim, self.num_heads, self.chaos_strength, dtype=self.dtype,
             out_dtype=res_dtype,
             use_flash=self.use_flash, ring_axis=self.ring_axis,
-            ring_mesh=self.ring_mesh,
+            ring_mesh=self.ring_mesh, sp_impl=self.sp_impl,
             name="chaos_attention",
         )
         x = x.astype(res_dtype)
@@ -112,8 +113,9 @@ class SmokePhysNet(nn.Module):
     use_flash: bool = False  # route attention through the Pallas flash
     # kernel (ops/pallas/attention.py); inference/eval path — the kernel has
     # no custom VJP, so training keeps the einsum path
-    ring_axis: str | None = None  # ring attention over this mesh axis (SP)
+    ring_axis: str | None = None  # sequence parallelism over this mesh axis
     ring_mesh: object = None  # jax.sharding.Mesh backing ring_axis
+    sp_impl: str = "ring"  # 'ring' (ppermute K/V) or 'ulysses' (all-to-all)
 
     def setup(self):
         self.enc_conv1 = TorchConv(64, (7, 7), padding=3, dtype=self.dtype)
@@ -145,6 +147,7 @@ class SmokePhysNet(nn.Module):
                     use_flash=self.use_flash,
                     ring_axis=self.ring_axis,
                     ring_mesh=self.ring_mesh,
+                    sp_impl=self.sp_impl,
                 ),
             )
         self.dec1 = TorchDense(256, dtype=self.dtype)

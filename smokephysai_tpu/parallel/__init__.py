@@ -2,7 +2,9 @@
 
   DP  - batch sharding over 'data' (sharding.py; gradient psum by GSPMD)
   TP  - attention/FFN column/row sharding over 'model' (sharding.py)
-  SP  - ring attention over a sequence-sharded axis (ring_attention.py)
+  SP  - ring attention (ppermute K/V rotation, ring_attention.py) or
+        Ulysses head-scatter all-to-all (ulysses_attention.py) over a
+        sequence-sharded axis; pick via model/config `sp_impl`
   PP  - GPipe microbatch pipeline over 'model' (pipeline.py)
   Spatial - row-block solver decomposition + ppermute halos (halo.py)
   EP  - NOT SUPPORTED: the model family has no MoE layers (SURVEY.md §2.6

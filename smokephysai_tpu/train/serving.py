@@ -43,6 +43,7 @@ def build_model(
         fast_math=tpu_cfg.get("fast_math", False),
         ring_axis=ring_axis,
         ring_mesh=mesh if ring_axis is not None else None,
+        sp_impl=tpu_cfg.get("sp_impl", "ring"),
     )
 
 

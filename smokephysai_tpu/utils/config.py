@@ -52,6 +52,7 @@ DEFAULTS: Dict[str, Any] = {
         "compute_dtype": "float32",  # 'bfloat16' = MXU fast path for serving
         "use_flash": False,   # Pallas flash attention on the serving path
         "fast_math": False,   # bf16 residual stream in the trunk (serving)
+        "sp_impl": "ring",    # sequence parallelism: 'ring' | 'ulysses'
         "ring_axis": None,    # mesh axis for ring attention (e.g. 'space')
         "pipeline_axis": None,  # mesh axis for pipeline-parallel trunk
     },

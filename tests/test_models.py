@@ -283,6 +283,24 @@ class TestModelLevelAttentionPaths:
             atol=2e-5,
         )
 
+    def test_model_ulysses_equals_einsum(self, small_net_vars):
+        from smokephysai_tpu.parallel.mesh import make_mesh
+
+        kwargs, variables, x = small_net_vars
+        mesh = make_mesh(space=4)  # num_heads=4 -> 1 head per device
+        rngs = {"chaos": jax.random.PRNGKey(3)}
+        out_ref = SmokePhysNet(**kwargs).apply(
+            variables, x, train=False, rngs=rngs
+        )
+        out_uly = SmokePhysNet(
+            **kwargs, ring_axis="space", ring_mesh=mesh, sp_impl="ulysses"
+        ).apply(variables, x, train=False, rngs=rngs)
+        np.testing.assert_allclose(
+            np.asarray(out_uly["reconstructed"]),
+            np.asarray(out_ref["reconstructed"]),
+            atol=2e-5,
+        )
+
     def test_build_model_reads_config_keys(self):
         from smokephysai_tpu.parallel.mesh import make_mesh
         from smokephysai_tpu.train.serving import build_model

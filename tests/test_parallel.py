@@ -155,6 +155,43 @@ class TestRingAttention:
         )
 
 
+class TestUlyssesAttention:
+    """Head-scatter all-to-all sequence parallelism
+    (parallel/ulysses_attention.py) — must equal full attention."""
+
+    def test_matches_full_attention(self, space_mesh):
+        from smokephysai_tpu.parallel.ulysses_attention import ulysses_attention
+
+        B, H, L, D = 2, 8, 64, 16  # H == axis size (1 head per device)
+        ks = jax.random.split(jax.random.PRNGKey(5), 3)
+        q, k, v = (jax.random.normal(kk, (B, H, L, D)) for kk in ks)
+        scores = jnp.einsum("bhid,bhjd->bhij", q, k) / np.sqrt(D)
+        expected = jnp.einsum(
+            "bhij,bhjd->bhid", jax.nn.softmax(scores, axis=-1), v
+        )
+        got = ulysses_attention(q, k, v, space_mesh)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), atol=2e-5
+        )
+
+    def test_multiple_heads_per_device(self):
+        from smokephysai_tpu.parallel.mesh import make_mesh
+        from smokephysai_tpu.parallel.ulysses_attention import ulysses_attention
+
+        mesh = make_mesh(space=4)
+        B, H, L, D = 1, 8, 32, 8  # 2 heads per device
+        ks = jax.random.split(jax.random.PRNGKey(6), 3)
+        q, k, v = (jax.random.normal(kk, (B, H, L, D)) for kk in ks)
+        scores = jnp.einsum("bhid,bhjd->bhij", q, k) / (np.sqrt(D) * 2.0)
+        expected = jnp.einsum(
+            "bhij,bhjd->bhid", jax.nn.softmax(scores, axis=-1), v
+        )
+        got = ulysses_attention(q, k, v, mesh, temperature=2.0)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), atol=2e-5
+        )
+
+
 class TestPipeline:
     def test_pipeline_matches_sequential(self):
         """4 dense stages over a 4-device pipeline must equal sequential
