@@ -58,3 +58,14 @@ class TestSanitization:
         err, out = fn(jnp.array(2.0))
         assert err.get() is None
         assert float(out) == pytest.approx(np.log(2.0))
+
+
+class TestMultihost:
+    def test_initialize_noops_single_process(self):
+        import jax
+
+        from smokephysai_tpu.parallel.multihost import initialize, is_primary
+
+        initialize()  # must not raise on a single host
+        assert jax.process_count() == 1
+        assert is_primary()
