@@ -291,9 +291,33 @@ def main():
         extra["throughput_fps_batch64_bf16_flash"] = round(
             batch64_fps(True, False), 1
         )
-        extra["throughput_fps_batch64_bf16_flash_fast"] = round(
-            batch64_fps(True, True), 1
+        fast_fps = batch64_fps(True, True)
+        extra["throughput_fps_batch64_bf16_flash_fast"] = round(fast_fps, 1)
+        # honest MFU: XLA's own FLOP count for the einsum-attention forward
+        # (the flash kernel's FLOPs aren't in cost_analysis, so this is a
+        # slight undercount of work actually done on the fast path)
+        from smokephysai_tpu.utils.profiling import flops_estimate, mfu
+
+        m = build_model({
+            "model": {
+                "input_dim": 128, "hidden_dim": 512, "num_layers": 6,
+                "num_heads": 8, "output_channels": 64, "chaos_strength": 0.1,
+            },
+            "tpu": {"compute_dtype": "bfloat16"},
+        })
+        xb = _jnp.zeros((64, 128, 128, 1), _jnp.float32)
+        vs = m.init(
+            {"params": _jax.random.PRNGKey(0), "chaos": _jax.random.PRNGKey(1)},
+            xb, train=False,
         )
+        key = _jax.random.PRNGKey(0)
+        fl = flops_estimate(
+            lambda x: m.apply(vs, x, train=False, rngs={"chaos": key}), xb
+        )
+        if fl:
+            u = mfu(fl / 64.0 * fast_fps)
+            if u:
+                extra["mfu_batch64_flash_fast"] = round(u, 3)
     except Exception as e:  # pragma: no cover
         extra["batch64_error"] = str(e)[:200]
 

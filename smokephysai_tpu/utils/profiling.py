@@ -54,3 +54,37 @@ class Timer:
             return None
         s = sorted(self.times)
         return 1000.0 * s[len(s) // 2]
+
+
+def flops_estimate(fn, *args, **kwargs) -> Optional[float]:
+    """XLA's compiled-program FLOP estimate for `fn(*args)` — the numerator
+    of an honest MFU number. Returns None when the backend's cost analysis
+    is unavailable (some plugin backends)."""
+    try:
+        cost = jax.jit(fn).lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
+# bf16 peak TFLOPS per chip for common TPU generations (public specs);
+# used to turn flops/sec into model FLOPS utilisation (MFU)
+TPU_BF16_PEAK_TFLOPS = {
+    "v4": 275.0,
+    "v5e": 197.0,
+    "v5 lite": 197.0,
+    "v5p": 459.0,
+    "v6e": 918.0,
+}
+
+
+def mfu(flops_per_sec: float, device=None) -> Optional[float]:
+    """flops/sec -> fraction of one chip's bf16 peak. Device kind is
+    matched against TPU_BF16_PEAK_TFLOPS; None if unknown."""
+    kind = (device or jax.devices()[0]).device_kind.lower()
+    for key, peak in TPU_BF16_PEAK_TFLOPS.items():
+        if key in kind:
+            return flops_per_sec / (peak * 1e12)
+    return None

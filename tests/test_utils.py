@@ -69,3 +69,19 @@ class TestMultihost:
         initialize()  # must not raise on a single host
         assert jax.process_count() == 1
         assert is_primary()
+
+
+class TestProfilingFlops:
+    def test_flops_estimate_matmul(self):
+        from smokephysai_tpu.utils.profiling import flops_estimate
+
+        f = flops_estimate(
+            lambda a, b: a @ b, jnp.ones((64, 128)), jnp.ones((128, 32))
+        )
+        assert f == pytest.approx(2 * 64 * 128 * 32, rel=0.01)
+
+    def test_mfu_unknown_device_is_none_or_fraction(self):
+        from smokephysai_tpu.utils.profiling import mfu
+
+        u = mfu(1e12)
+        assert u is None or 0 < u < 1
