@@ -191,3 +191,36 @@ def test_evaluate_cli(trained_exp_dir, tmp_path):
     assert np.isfinite(report["adversarial"]["adversarial_perturbation_norm"])
     assert 0.0 < report["physics_perturbation"][
         "physics_prediction_stability"] <= 1.0
+
+
+def test_stream_cli(tmp_path, monkeypatch):
+    """stream.py end-to-end: fused rollout -> npy/json/png artifacts."""
+    import yaml
+
+    import stream
+
+    cfg = {
+        "data": {"grid_size": [64, 64]},
+        "model": CONFIG["model"],
+        "simulation": {"dt": 0.01, "viscosity": 0.001, "grid_size": [64, 64]},
+        "tpu": {"use_pallas": False},
+    }
+    cfg_path = tmp_path / "stream_cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out_dir = tmp_path / "out"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["stream.py", "--config", str(cfg_path), "--frames", "3",
+         "--downsample", "2", "--output_dir", str(out_dir)],
+    )
+    stream.main()
+
+    feats = np.load(out_dir / "physics_features.npy")
+    frames = np.load(out_dir / "frames.npy")
+    assert feats.shape == (3, 3) and np.isfinite(feats).all()
+    assert frames.shape == (3, 32, 32)
+    import json
+
+    summary = json.loads((out_dir / "summary.json").read_text())
+    assert summary["frames"] == 3
+    assert (out_dir / "evolution.png").exists()
