@@ -106,6 +106,8 @@ class SmokePhysNet3D(nn.Module):
     chaos_strength: float = 0.1
     bn_axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False  # Pallas flash attention (512-token trunk)
+    fast_math: bool = False  # bf16 residual + tanh GELU (serving fast path)
 
     @nn.compact
     def __call__(
@@ -139,7 +141,8 @@ class SmokePhysNet3D(nn.Module):
         for i in range(self.num_layers):
             feats = ChaosTransformerLayer(
                 self.hidden_dim, self.num_heads, self.chaos_strength,
-                dtype=self.dtype, name=f"layer_{i}",
+                dtype=self.dtype, use_flash=self.use_flash,
+                fast_math=self.fast_math, name=f"layer_{i}",
             )(feats, deterministic=not train)
 
         out = nn.Dense(self.output_channels, name="dec")(jax.nn.relu(feats))

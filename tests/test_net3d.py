@@ -155,3 +155,18 @@ def test_fit_3d_end_to_end(tmp_path):
     # best-val checkpoint written by the shared driver
     import os
     assert any(os.scandir(str(tmp_path)))
+
+
+def test_flash_path_equals_einsum_3d(model_and_vars):
+    """use_flash on the 512-token 3D trunk must match the einsum path."""
+    model, variables = model_and_vars
+    x = jax.random.uniform(jax.random.PRNGKey(7), (1, 16, 16, 16, 1))
+    rngs = {"chaos": jax.random.PRNGKey(8)}
+    out_ref = model.apply(variables, x, train=False, rngs=rngs)
+    flash_model = model.clone(use_flash=True)
+    out_flash = flash_model.apply(variables, x, train=False, rngs=rngs)
+    np.testing.assert_allclose(
+        np.asarray(out_flash["reconstructed"]),
+        np.asarray(out_ref["reconstructed"]),
+        atol=2e-5,
+    )
