@@ -240,7 +240,7 @@ def main():
         s3 = s3.replace(
             density=add_smoke_source3d(s3.density, 64.0, 64.0, 20.0, 10.0, 1.5)
         )
-        n3 = 20
+        n3 = 50  # amortise the ~30 ms tunnel dispatch (1.5 ms/step at n=20)
         f3 = _j.jit(
             lambda st: _lax.fori_loop(
                 0, n3, lambda _, c: step3d(c, num_cg_iters=30), st

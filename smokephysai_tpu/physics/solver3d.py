@@ -238,7 +238,9 @@ def cg_pressure(
     return p
 
 
-@functools.partial(jax.jit, static_argnames=("num_cg_iters", "max_disp"))
+@functools.partial(
+    jax.jit, static_argnames=("num_cg_iters", "max_disp", "use_pallas")
+)
 def step3d(
     state: SimState3D,
     dt: float = 0.01,
@@ -246,6 +248,7 @@ def step3d(
     buoyancy: float = 0.1,
     num_cg_iters: int = 30,
     max_disp: int = 1,
+    use_pallas: bool = False,
 ) -> SimState3D:
     """One 3D step: buoyancy (vertical w faces) -> diffusion -> CG pressure
     projection -> advection -> 0.995 decay (stage order mirrors the 2D
@@ -262,9 +265,19 @@ def step3d(
         density=diffuse3d(state.density, dt, viscosity * 0.1),
     )
 
-    # 3. CG pressure projection
+    # 3. CG pressure projection. use_pallas routes through the VMEM-resident
+    # whole-volume CG kernel (ops/pallas/cg3d.py) when the volume fits —
+    # the XLA path streams ~2 GB of HBM per solve at 128^3.
     div = divergence3d(state, dt)
-    p = cg_pressure(state.p, div, num_cg_iters)
+    if use_pallas:
+        from smokephysai_tpu.ops.pallas.cg3d import cg_pressure_pallas, fits_cg3d
+
+        if fits_cg3d(div.shape):
+            p = cg_pressure_pallas(state.p, div, num_cg_iters)
+        else:
+            p = cg_pressure(state.p, div, num_cg_iters)
+    else:
+        p = cg_pressure(state.p, div, num_cg_iters)
     u = state.u.at[:, :, 1:-1].add(-dt * (p[:, :, 1:] - p[:, :, :-1]))
     v = state.v.at[:, 1:-1, :].add(-dt * (p[:, 1:, :] - p[:, :-1, :]))
     w_vel = state.w.at[1:-1, :, :].add(-dt * (p[1:, :, :] - p[:-1, :, :]))
@@ -303,12 +316,13 @@ def multi_step3d(
     viscosity: float = 0.001,
     num_cg_iters: int = 30,
     max_disp: int = 1,
+    use_pallas: bool = False,
 ) -> Tuple[SimState3D, Array]:
     """Scan over steps; returns final state + density trajectory."""
 
     def body(s, _):
         s = step3d(s, dt=dt, viscosity=viscosity, num_cg_iters=num_cg_iters,
-                   max_disp=max_disp)
+                   max_disp=max_disp, use_pallas=use_pallas)
         return s, s.density
 
     return lax.scan(body, state, None, length=num_steps)

@@ -156,3 +156,41 @@ def test_jacobi_tiled_beyond_vmem_bit_exact():
     ref = jacobi_pressure(p, div, 20)
     got = jacobi_pressure_pallas(p, div, 20)
     assert bool(jnp.all(got == ref))
+
+
+class TestCG3DPallas:
+    """Whole-volume VMEM-resident CG (ops/pallas/cg3d.py) must be
+    element-wise exact vs solver3d.cg_pressure."""
+
+    def test_matches_xla_cg(self):
+        from smokephysai_tpu.ops.pallas.cg3d import cg_pressure_pallas
+        from smokephysai_tpu.physics.solver3d import cg_pressure
+
+        div = jax.random.normal(jax.random.PRNGKey(3), (8, 8, 128))
+        p0 = jnp.zeros_like(div)
+        a = cg_pressure(p0, div, num_iters=20)
+        b = cg_pressure_pallas(p0, div, num_iters=20)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_step3d_use_pallas_matches(self):
+        from smokephysai_tpu.physics.solver3d import (
+            add_smoke_source3d, init_state3d, step3d,
+        )
+
+        s = init_state3d((8, 8, 128))
+        s = s.replace(
+            density=add_smoke_source3d(s.density, 64.0, 4.0, 4.0, 3.0, 1.0)
+        )
+        s = step3d(s, num_cg_iters=10)  # build up velocity
+        a = step3d(s, num_cg_iters=10, use_pallas=False)
+        b = step3d(s, num_cg_iters=10, use_pallas=True)
+        np.testing.assert_allclose(
+            np.asarray(a.density), np.asarray(b.density), atol=1e-6
+        )
+
+    def test_fits_guard(self):
+        from smokephysai_tpu.ops.pallas.cg3d import fits_cg3d
+
+        assert fits_cg3d((128, 128, 128))
+        assert not fits_cg3d((512, 512, 512))
+        assert not fits_cg3d((16, 16, 100))  # lane-misaligned last axis
