@@ -40,6 +40,8 @@ def main() -> None:
                         help="spatial stride for saved frames (HBM->host)")
     parser.add_argument("--mesh_space", type=int, default=0,
                         help=">1: domain-decompose the sim over this many devices")
+    parser.add_argument("--source_radius", type=float, default=0.0,
+                        help="smoke source radius in cells (default grid/32)")
     args = parser.parse_args()
 
     import jax
@@ -70,7 +72,8 @@ def main() -> None:
     state = init_state(grid)
     state = state.replace(
         density=add_smoke_source(
-            state.density, grid[1] / 2, grid[0] / 2, max(8.0, grid[0] / 32), 1.5
+            state.density, grid[1] / 2, grid[0] / 2,
+            args.source_radius or max(8.0, grid[0] / 32), 1.5
         )
     )
 
