@@ -155,7 +155,7 @@ def flash_attention_tokens(
     num_heads: int,
     temperature: float = 1.0,
     block_q: int = 256,
-    block_k: int = 512,
+    block_k: int = 1024,
 ) -> Array:
     """Multi-head flash attention straight on token-major [B, L, D]
     projections (D = num_heads * head_dim, torch head convention: head h is
