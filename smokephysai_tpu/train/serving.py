@@ -132,7 +132,8 @@ def make_pipelined_predictor(
     )
     layer_module = ChaosTransformerLayer(
         model.hidden_dim, model.num_heads, model.chaos_strength,
-        dtype=model.dtype,
+        dtype=model.dtype, fast_math=model.fast_math,
+        use_flash=model.use_flash,
     )
     base_key = jax.random.PRNGKey(chaos_seed)
 
