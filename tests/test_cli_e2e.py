@@ -224,3 +224,29 @@ def test_stream_cli(tmp_path, monkeypatch):
     summary = json.loads((out_dir / "summary.json").read_text())
     assert summary["frames"] == 3
     assert (out_dir / "evolution.png").exists()
+
+
+def test_stream_cli_mesh_space(tmp_path, monkeypatch):
+    """stream.py --mesh_space routes through the domain-decomposed rollout."""
+    import yaml
+
+    import stream
+
+    cfg = {
+        "data": {"grid_size": [64, 64]},
+        "model": CONFIG["model"],
+        "simulation": {"dt": 0.01, "viscosity": 0.001, "grid_size": [64, 64]},
+        "tpu": {"use_pallas": False},
+    }
+    cfg_path = tmp_path / "stream_cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out_dir = tmp_path / "out_sharded"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["stream.py", "--config", str(cfg_path), "--frames", "2",
+         "--downsample", "2", "--mesh_space", "4",
+         "--output_dir", str(out_dir)],
+    )
+    stream.main()
+    feats = np.load(out_dir / "physics_features.npy")
+    assert feats.shape == (2, 3) and np.isfinite(feats).all()
