@@ -212,11 +212,16 @@ class SyntheticSmokeDataset:
             }
         si = np.asarray(sample_idx)
         fi = np.asarray(frame_idx)
-        inp = self._sequences[si, fi][..., None]  # [B, H, W, 1]
-        tgt = self._sequences[si, fi + 1][..., None]
+        # Pack input+target into ONE host->device transfer (half the RPCs
+        # through the tunnel; measured neutral-to-positive — host-path step
+        # overhead is dominated by per-op dispatch latency, not bytes).
+        frames = np.stack(
+            [self._sequences[si, fi], self._sequences[si, fi + 1]], axis=-1
+        )  # [B, H, W, 2]
+        frames = jnp.asarray(frames)
         return {
-            "input": jnp.asarray(inp),
-            "target": jnp.asarray(tgt),
+            "input": frames[..., :1],
+            "target": frames[..., 1:],
             "chaos_features": self._chaos[sample_idx],
             "continuity": self._continuity[sample_idx],
         }
