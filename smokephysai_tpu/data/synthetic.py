@@ -243,7 +243,23 @@ class SyntheticSmokeDataset:
         """One pass over all episodes in batches (train: shuffled;
         val: in order, like the reference loaders data_loader.py:168-182).
         The trailing partial batch is dropped when shuffling (fixed shapes
-        under jit) and kept for validation."""
+        under jit) and kept for validation.
+
+        Host-resident datasets (>DEVICE_BYTES_LIMIT) stage batches from a
+        background prefetch thread so the numpy slicing + H2D transfer of
+        batch t+1 overlaps the train step on batch t — the TPU-native
+        analogue of the reference's DataLoader worker processes
+        (data_loader.py:134-143). Batch contents and order are identical
+        to the unprefetched path."""
+        gen = self._epoch_batches_sync(key, batch_size, shuffle)
+        if self._on_device:
+            yield from gen  # zero-copy device gathers: nothing to overlap
+            return
+        yield from _prefetch(gen)
+
+    def _epoch_batches_sync(
+        self, key: Array, batch_size: int, shuffle: bool
+    ) -> Iterator[Dict[str, Array]]:
         n = len(self)
         k_perm, k_frames = jax.random.split(key)
         order = (
@@ -259,6 +275,35 @@ class SyntheticSmokeDataset:
         if not shuffle and n % batch_size:
             idx = order[num_full * batch_size :]
             yield self.get_batch(idx, frames[idx])
+
+
+def _prefetch(gen: Iterator, depth: int = 2) -> Iterator:
+    """Stage up to `depth` items from `gen` in a daemon thread. The
+    producer's numpy slicing and device transfers release the GIL, so
+    staging overlaps the consumer's step dispatches. Exceptions propagate
+    to the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    END = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(END)
+        except BaseException as e:  # surface producer errors on the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def create_data_loaders(

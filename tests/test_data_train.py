@@ -276,3 +276,22 @@ def test_ssim_psnr_golden_parity():
     b = jnp.asarray(g["b"].transpose(0, 2, 3, 1))
     assert float(M.ssim(a, b)) == pytest.approx(float(g["ssim"]), abs=1e-5)
     assert float(M.psnr(a, b)) == pytest.approx(float(g["psnr"]), abs=1e-4)
+
+
+def test_host_resident_prefetch_batches_identical(monkeypatch):
+    """The prefetch thread (host-resident path) must yield byte-identical
+    batches in the same order as the synchronous generator."""
+    from smokephysai_tpu.data.synthetic import SyntheticSmokeDataset
+
+    monkeypatch.setattr(SyntheticSmokeDataset, "DEVICE_BYTES_LIMIT", 0)
+    ds = SyntheticSmokeDataset(
+        num_samples=12, grid_size=(32, 32), sequence_length=12, seed=3
+    )
+    assert not ds._on_device
+    key = jax.random.PRNGKey(5)
+    pre = list(ds.epoch_batches(key, 4, shuffle=True))
+    sync = list(ds._epoch_batches_sync(key, 4, shuffle=True))
+    assert len(pre) == len(sync) == 3
+    for a, b in zip(pre, sync):
+        for k in ("input", "target", "chaos_features", "continuity"):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
