@@ -281,29 +281,46 @@ def _prefetch(gen: Iterator, depth: int = 2) -> Iterator:
     """Stage up to `depth` items from `gen` in a daemon thread. The
     producer's numpy slicing and device transfers release the GIL, so
     staging overlaps the consumer's step dispatches. Exceptions propagate
-    to the consumer."""
+    to the consumer. If the consumer abandons the iterator early
+    (exception or break mid-epoch), the `stop` event unblocks the
+    producer's timed put so the thread and its staged batches are
+    released instead of leaking."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
     END = object()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in gen:
-                q.put(item)
-            q.put(END)
+                if not _put(item):
+                    return
+            _put(END)
         except BaseException as e:  # surface producer errors on the consumer
-            q.put(e)
+            _put(e)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def create_data_loaders(

@@ -154,8 +154,8 @@ def jacobi_pressure_pallas(p: Array, div: Array, num_iters: int = 20) -> Array:
         grid=(h // stripe,),
         out_shape=jax.ShapeDtypeStruct((h, w), p.dtype),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (stripe, w), lambda i: (i, 0), memory_space=pltpu.VMEM

@@ -280,7 +280,9 @@ def vorticity_confinement(state: SimState, dt: float, eps: float) -> SimState:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_jacobi_iters", "vorticity_eps", "use_pallas"),
+    static_argnames=(
+        "num_jacobi_iters", "vorticity_eps", "use_pallas", "max_disp"
+    ),
 )
 def step(
     state: SimState,
@@ -289,6 +291,7 @@ def step(
     num_jacobi_iters: int = 20,
     vorticity_eps: float = 0.0,
     use_pallas: bool = False,
+    max_disp: int = 2,
 ) -> SimState:
     """One solver step: buoyancy → diffusion → projection → advection →
     decay (reference navier_stokes.py:151-173, order preserved exactly).
@@ -299,14 +302,24 @@ def step(
     kernels; numerics match the XLA path either way. `vorticity_eps` is a
     trace-time constant (config value) so the fused-path choice and the
     confinement branch compile away.
+
+    `max_disp` bounds the tent-shift advection displacement (cells/step);
+    it reaches the fused kernel too, so raising it keeps the Pallas and XLA
+    paths in agreement. `max_disp=0` selects the general gather path
+    (never fused).
     """
-    if use_pallas and vorticity_eps == 0.0:
+    if use_pallas and vorticity_eps == 0.0 and max_disp > 0:
         from smokephysai_tpu.ops.pallas import fused_step as _pf
 
         if _pf.fits_fused_step(state.density.shape):
+            # At the default max_disp=2 the fused kernel runs its D=1 tap
+            # set: bit-identical for displacements < 1 cell (measured sims
+            # peak ~6e-4) at a third of the tap count. Any non-default
+            # request is honoured verbatim so both paths stay equal.
             u, v, p, d = _pf.fused_step_pallas(
                 state.u, state.v, state.p, state.density,
                 dt, viscosity, num_jacobi_iters,
+                max_disp=1 if max_disp == 2 else max_disp,
             )
             return state.replace(u=u, v=v, p=p, density=d)
 
@@ -341,9 +354,9 @@ def step(
 
     # 4. advection — sequential-update quirk: v sees updated u, density sees
     #    updated u and v (navier_stokes.py:166-168)
-    u = advect(state.u, state.u, state.v, dt)
-    v = advect(state.v, u, state.v, dt)
-    density = advect(state.density, u, v, dt)
+    u = advect(state.u, state.u, state.v, dt, max_disp=max_disp)
+    v = advect(state.v, u, state.v, dt, max_disp=max_disp)
+    density = advect(state.density, u, v, dt, max_disp=max_disp)
 
     # 5. density decay (navier_stokes.py:171)
     return state.replace(u=u, v=v, density=density * 0.995)
@@ -352,7 +365,8 @@ def step(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_steps", "num_jacobi_iters", "vorticity_eps", "use_pallas"
+        "num_steps", "num_jacobi_iters", "vorticity_eps", "use_pallas",
+        "max_disp",
     ),
 )
 def multi_step(
@@ -363,6 +377,7 @@ def multi_step(
     num_jacobi_iters: int = 20,
     vorticity_eps: float = 0.0,
     use_pallas: bool = False,
+    max_disp: int = 2,
 ) -> Tuple[SimState, Array]:
     """`lax.scan` over `num_steps` solver steps; returns the final state and
     the stacked density trajectory [T, H, W]. This is the fused time loop
@@ -372,13 +387,14 @@ def multi_step(
     runs inside one VMEM-resident Pallas kernel when state + trajectory fit
     — the fields never touch HBM between steps (ops/pallas/fused_step.py).
     """
-    if use_pallas and vorticity_eps == 0.0:
+    if use_pallas and vorticity_eps == 0.0 and max_disp > 0:
         from smokephysai_tpu.ops.pallas import fused_step as _pf
 
         if _pf.fits_fused_step(state.density.shape, traj_steps=num_steps):
             (u, v, p, d), traj = _pf.fused_multi_step_pallas(
                 state.u, state.v, state.p, state.density,
                 num_steps, dt, viscosity, num_jacobi_iters,
+                max_disp=1 if max_disp == 2 else max_disp,
             )
             return state.replace(u=u, v=v, p=p, density=d), traj
 
@@ -390,6 +406,7 @@ def multi_step(
             num_jacobi_iters=num_jacobi_iters,
             vorticity_eps=vorticity_eps,
             use_pallas=use_pallas,
+            max_disp=max_disp,
         )
         return s, s.density
 

@@ -41,6 +41,7 @@ DEFAULTS: Dict[str, Any] = {
         "dt": 0.01,
         "viscosity": 0.001,
         "grid_size": [128, 128],
+        "num_jacobi_iters": 20,  # reference hardcodes 20 (navier_stokes.py:139)
     },
     # TPU-native extensions (absent in the reference schema)
     "tpu": {

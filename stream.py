@@ -77,18 +77,27 @@ def main() -> None:
         )
     )
 
+    sim_cfg = config["simulation"]
+    sim_kwargs = dict(
+        dt=sim_cfg["dt"],
+        viscosity=sim_cfg["viscosity"],
+        num_jacobi_iters=sim_cfg.get("num_jacobi_iters", 20),
+    )
+
     t0 = time.perf_counter()
     if args.mesh_space > 1:
         from smokephysai_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(space=args.mesh_space)
         final, outs = streaming_rollout_sharded(
-            model, variables, state, num_frames=args.frames, mesh=mesh
+            model, variables, state, num_frames=args.frames, mesh=mesh,
+            **sim_kwargs,
         )
     else:
         final, outs = streaming_rollout(
             model, variables, state, num_frames=args.frames,
             use_pallas=config.get("tpu", {}).get("use_pallas", True),
+            **sim_kwargs,
         )
     feats = np.asarray(outs["physics_features"])  # forces completion
     wall = time.perf_counter() - t0
