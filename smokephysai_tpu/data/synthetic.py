@@ -179,12 +179,17 @@ class SyntheticSmokeDataset:
         seqs = self.data["sequences"]
         self._on_device = seqs.nbytes < self.DEVICE_BYTES_LIMIT
         self._sequences = jnp.asarray(seqs) if self._on_device else seqs
-        self._chaos = jnp.asarray(self.data["chaos"])
-        self._continuity = jnp.asarray(
+        continuity = (
             np.mean(np.abs(np.diff(seqs, axis=1)), axis=(1, 2, 3))
             if seqs.shape[1] > 1
             else np.zeros(seqs.shape[0], np.float32)
         )
+        self._chaos = jnp.asarray(self.data["chaos"])
+        self._continuity = jnp.asarray(continuity)
+        # Host-resident batches index these with numpy — a device gather
+        # per batch is one more tunnel RPC on the serving stream
+        self._chaos_np = np.asarray(self.data["chaos"], np.float32)
+        self._continuity_np = np.asarray(continuity, np.float32)
 
     def __len__(self) -> int:
         return self._sequences.shape[0]
@@ -219,11 +224,14 @@ class SyntheticSmokeDataset:
             [self._sequences[si, fi], self._sequences[si, fi + 1]], axis=-1
         )  # [B, H, W, 2]
         frames = jnp.asarray(frames)
+        # chaos/continuity: slice on HOST and ship (2 small H2D puts) rather
+        # than gathering device copies — device gathers are execute RPCs
+        # that serialize with the train step's own dispatches on the tunnel
         return {
             "input": frames[..., :1],
             "target": frames[..., 1:],
-            "chaos_features": self._chaos[sample_idx],
-            "continuity": self._continuity[sample_idx],
+            "chaos_features": jnp.asarray(self._chaos_np[si]),
+            "continuity": jnp.asarray(self._continuity_np[si]),
         }
 
     def sample_batch(self, key: Array, batch_size: int) -> Dict[str, Array]:
@@ -268,6 +276,11 @@ class SyntheticSmokeDataset:
         frames = jax.random.randint(
             k_frames, (n,), FRAME_RANGE[0], self.sequence_length + FRAME_RANGE[1]
         )
+        if not self._on_device:
+            # one readback per EPOCH: per-batch slicing of device-resident
+            # index arrays was 2 execute RPCs per batch through the tunnel
+            # (identical batch composition — same permutation/frame values)
+            order, frames = np.asarray(order), np.asarray(frames)
         num_full = n // batch_size
         for b in range(num_full):
             idx = order[b * batch_size : (b + 1) * batch_size]

@@ -129,12 +129,17 @@ class ChaosAttention(nn.Module):
             return dense(D, "out_proj")(out).astype(self.out_dtype)
 
         if self.use_flash and mask is None:
-            from smokephysai_tpu.ops.pallas.attention import flash_attention_tokens
+            from smokephysai_tpu.ops.pallas.attention import (
+                flash_attention_tokens_trainable,
+            )
 
             # token-major [B, L, D] path: no head split/merge transposes
-            # around the kernel (see flash_attention_tokens)
-            out = flash_attention_tokens(
-                q_eff, k, v, num_heads=h, temperature=self.temperature
+            # around the kernel (see flash_attention_tokens). The trainable
+            # variant has a Pallas custom VJP, so this path now serves
+            # training too (the einsum path's [L,L] f32 score matrices were
+            # ~2/3 of the whole train step at batch 8).
+            out = flash_attention_tokens_trainable(
+                q_eff, k, v, h, self.temperature
             )
             return dense(D, "out_proj")(out).astype(self.out_dtype)
 

@@ -68,15 +68,18 @@ class TorchConv(nn.Module):
         bias = self.param(
             "bias", _uniform_bound_init(fan_in**-0.5), (self.features,), jnp.float32
         )
+        # Output stays in `dtype` (flax nn.Conv convention) — the MXU
+        # accumulates bf16 convs in f32 internally regardless, and a
+        # preferred_element_type=f32 override would break the conv VJP
+        # under mixed precision (f32 cotangent vs bf16 kernel).
         out = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
             window_strides=(1, 1),
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
-        return out + bias
+        return out + bias.astype(self.dtype)
 
 
 class TorchConvTranspose2x(nn.Module):

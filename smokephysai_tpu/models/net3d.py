@@ -49,9 +49,10 @@ class Conv3D(nn.Module):
             window_strides=(1, 1, 1),
             padding=((p, p), (p, p), (p, p)),
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
         )
-        return out + bias
+        # output stays in `dtype` (a preferred_element_type=f32 override
+        # breaks the conv VJP under mixed precision; see layers.TorchConv)
+        return out + bias.astype(self.dtype)
 
 
 class ConvTranspose3D2x(nn.Module):
@@ -80,9 +81,8 @@ class ConvTranspose3D2x(nn.Module):
             padding=((2, 2), (2, 2), (2, 2)),
             lhs_dilation=(2, 2, 2),
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
         )
-        return out + bias
+        return out + bias.astype(self.dtype)
 
 
 def avg_pool_to(x: Array, out_size: int) -> Array:

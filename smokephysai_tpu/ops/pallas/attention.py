@@ -105,6 +105,250 @@ def flash_attention(
     return out.reshape(B, H, L, D)
 
 
+# --------------------------------------------------------------------------
+# Trainable token-major flash attention (custom VJP).
+#
+# The einsum training path materialises the [B,H,L,L] f32 score matrix in
+# HBM (256 MB at batch 8 / 1024 tokens) and its softmax backward lowers to
+# VPU reduce fusions — profiling showed it at ~4 ms/layer, ~2/3 of the whole
+# train step. Here the forward additionally emits the per-row logsumexp, and
+# the backward is ONE Pallas program per batch element that recomputes
+# P = exp(S - lse) head-by-head entirely in VMEM (L=1024, D=512: all five
+# [L,D] operands plus one [L,L] f32 transient ≈ 15 MB) — the score matrix
+# never touches HBM in either pass.
+# --------------------------------------------------------------------------
+
+
+def _flash_fwd_kernel_bld(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, num_heads: int, block_k: int,
+    scale: float,
+):
+    """_flash_kernel_bld plus an lse output row per head ([1, H, BQ])."""
+    _, L, D = k_ref.shape
+    hd = D // num_heads
+    num_kb = L // block_k
+    q_all = q_ref[0]
+    BQ = q_all.shape[0]
+
+    for h in range(num_heads):
+        q = q_all[:, h * hd : (h + 1) * hd]
+
+        def body(kb, carry):
+            acc, m, l = carry
+            k_blk = k_ref[0, pl.ds(kb * block_k, block_k), h * hd : (h + 1) * hd]
+            v_blk = v_ref[0, pl.ds(kb * block_k, block_k), h * hd : (h + 1) * hd]
+            s = (
+                jax.lax.dot_general(
+                    q, k_blk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            corr = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * corr + jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc, m_new, l
+
+        acc0 = jnp.zeros((BQ, hd), jnp.float32)
+        m0 = jnp.full((BQ, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((BQ, 1), jnp.float32)
+        acc, m, l = lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+        o_ref[0, :, h * hd : (h + 1) * hd] = (acc / l).astype(o_ref.dtype)
+        lse_ref[0, h, :] = (m + jnp.log(l))[:, 0]
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, num_heads: int, scale: float,
+):
+    """dq for one (batch, q-block): standard flash backward identities
+        P = exp(S - lse),  dP = dO V^T,  dS = P * (dP - delta)
+        dQ = scale * dS K
+    with delta = rowsum(dO * O) precomputed in XLA (one cheap reduce)."""
+    q = q_ref[0]    # [BQ, D]
+    k = k_ref[0]    # [L, D]
+    v = v_ref[0]
+    do = do_ref[0]  # [BQ, D]
+    hd = q.shape[-1] // num_heads
+
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
+        s = (
+            jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )  # [BQ, L]
+        p = jnp.exp(s - lse_ref[0, h, :][:, None])
+        dp = jax.lax.dot_general(
+            doh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, L]
+        ds = (p * (dp - delta_ref[0, h, :][:, None]) * scale).astype(q.dtype)
+        dq_ref[0, :, sl] = jax.lax.dot_general(
+            ds, kh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, num_heads: int, scale: float,
+):
+    """dk/dv for one (batch, k-block):
+        dV = P^T dO,  dK = scale * dS^T Q
+    (P/dS recomputed over the full q range for this k block)."""
+    q = q_ref[0]    # [L, D]
+    k = k_ref[0]    # [BK, D]
+    v = v_ref[0]
+    do = do_ref[0]  # [L, D]
+    hd = q.shape[-1] // num_heads
+
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
+        s = (
+            jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )  # [L, BK]
+        p = jnp.exp(s - lse_ref[0, h, :][:, None])
+        pb = p.astype(v.dtype)
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            pb, doh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            doh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [L, BK]
+        ds = (p * (dp - delta_ref[0, h, :][:, None]) * scale).astype(q.dtype)
+        dk_ref[0, :, sl] = jax.lax.dot_general(
+            ds, qh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dk_ref.dtype)
+
+
+def _flash_tokens_fwd_lse(q, k, v, num_heads, scale, block_q, block_k):
+    B, L, D = q.shape
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _flash_fwd_kernel_bld, num_heads=num_heads, block_k=block_k,
+            scale=scale,
+        ),
+        grid=(B, L // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, block_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, D), q.dtype),
+            jax.ShapeDtypeStruct((B, num_heads, L), jnp.float32),
+        ],
+        interpret=use_interpret(),
+    )(q, k, v)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _flash_tokens_diff(num_heads, temperature, block_q, block_k, q, k, v):
+    B, L, D = q.shape
+    scale = 1.0 / (float(D // num_heads) ** 0.5 * temperature)
+    out, _ = _flash_tokens_fwd_lse(q, k, v, num_heads, scale, block_q, block_k)
+    return out
+
+
+def _flash_trainable_fwd(num_heads, temperature, block_q, block_k, q, k, v):
+    B, L, D = q.shape
+    scale = 1.0 / (float(D // num_heads) ** 0.5 * temperature)
+    out, lse = _flash_tokens_fwd_lse(q, k, v, num_heads, scale, block_q, block_k)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_trainable_bwd(num_heads, temperature, block_q, block_k, res, g):
+    q, k, v, out, lse = res
+    B, L, D = q.shape
+    hd = D // num_heads
+    scale = 1.0 / (float(hd) ** 0.5 * temperature)
+
+    # delta[b,h,l] = rowsum(dO * O) per head — one cheap XLA reduce
+    delta = (
+        (g.astype(jnp.float32) * out.astype(jnp.float32))
+        .reshape(B, L, num_heads, hd)
+        .sum(axis=-1)
+        .transpose(0, 2, 1)
+    )  # [B, H, L]
+
+    full = pl.BlockSpec((1, L, D), lambda b, i: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    hl_full = pl.BlockSpec((1, num_heads, L), lambda b, i: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    qblk = pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                        memory_space=pltpu.VMEM)
+    hl_qblk = pl.BlockSpec((1, num_heads, block_q), lambda b, i: (b, 0, i),
+                           memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, num_heads=num_heads, scale=scale
+        ),
+        grid=(B, L // block_q),
+        in_specs=[qblk, full, full, qblk, hl_qblk, hl_qblk],
+        out_specs=qblk,
+        out_shape=jax.ShapeDtypeStruct((B, L, D), q.dtype),
+        interpret=use_interpret(),
+    )(q, k, v, g, lse, delta)
+
+    kblk = pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                        memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, num_heads=num_heads, scale=scale
+        ),
+        grid=(B, L // block_q),
+        in_specs=[full, kblk, kblk, full, hl_full, hl_full],
+        out_specs=[kblk, kblk],
+        out_shape=[jax.ShapeDtypeStruct((B, L, D), q.dtype)] * 2,
+        interpret=use_interpret(),
+    )(q, k, v, g, lse, delta)
+    return dq, dk, dv
+
+
+_flash_tokens_diff.defvjp(_flash_trainable_fwd, _flash_trainable_bwd)
+
+
+def flash_attention_tokens_trainable(
+    q: Array, k: Array, v: Array, num_heads: int, temperature: float = 1.0,
+    block_q: int = 256, block_k: int = 1024,
+) -> Array:
+    """`flash_attention_tokens` with a Pallas backward pass — safe under
+    jax.grad, so `use_flash` works on the training path too (the [L, L]
+    score matrix stays in VMEM in both passes)."""
+    B, L, D = q.shape
+    block_q, block_k = min(block_q, L), min(block_k, L)
+    assert D % num_heads == 0 and L % block_q == 0 and L % block_k == 0
+    return _flash_tokens_diff(num_heads, temperature, block_q, block_k, q, k, v)
+
+
 def _flash_kernel_bld(
     q_ref, k_ref, v_ref, o_ref, *, num_heads: int, block_k: int, scale: float
 ):

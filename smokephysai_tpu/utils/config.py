@@ -51,8 +51,13 @@ DEFAULTS: Dict[str, Any] = {
         "model_axis": 1,      # tensor-parallel mesh extent
         "vorticity_eps": 0.0,
         "compute_dtype": "float32",  # 'bfloat16' = MXU fast path for serving
+        "train_compute_dtype": "float32",  # 'bfloat16' = mixed-precision
+        # training: bf16 matmul/conv compute, f32 master params + optimizer
+        # state + loss (params are stored f32 and cast at use, layers.py)
         "use_flash": False,   # Pallas flash attention on the serving path
         "fast_math": False,   # bf16 residual stream in the trunk (serving)
+        "fast_encoder": False,  # pool oversize frames to input_dim^2 BEFORE
+        # the conv encoder (streaming fast path; documented divergence)
         "sp_impl": "ring",    # sequence parallelism: 'ring' | 'ulysses'
         "ring_axis": None,    # mesh axis for ring attention (e.g. 'space')
         "pipeline_axis": None,  # mesh axis for pipeline-parallel trunk
