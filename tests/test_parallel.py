@@ -393,3 +393,86 @@ class TestPipelineRealTrunk:
         np.testing.assert_array_equal(
             np.asarray(out["reconstructed"]), np.asarray(out2["reconstructed"])
         )
+
+
+class TestShardedSolver3D:
+    """parallel/sharded_solver3d.py: the full domain-decomposed 3D step
+    (z-slab sharding, overlapped w layout, distributed CG) vs the
+    single-device solver3d.step3d. Tolerances allow the CG dots' psum
+    reduction-order difference (~1 f32 ULP per dot per iteration)."""
+
+    def _dev_state(self, d=32, h=16, w=16, seed=3):
+        from smokephysai_tpu.physics.solver3d import (
+            add_smoke_source3d, init_state3d,
+        )
+
+        s = init_state3d((d, h, w))
+        s = s.replace(
+            density=add_smoke_source3d(
+                s.density, w / 2, h / 2, d / 2, radius=5.0, intensity=1.5
+            )
+        )
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        return s.replace(
+            u=0.3 * jax.random.normal(k1, (d, h, w + 1)),
+            v=0.3 * jax.random.normal(k2, (d, h + 1, w)),
+            w=0.3 * jax.random.normal(k3, (d + 1, h, w)),
+        )
+
+    def test_overlapped_roundtrip(self):
+        from smokephysai_tpu.parallel.sharded_solver3d import (
+            from_overlapped3d, to_overlapped3d,
+        )
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (33, 8, 8))
+        back = from_overlapped3d(to_overlapped3d(w, 8), 8)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(w))
+
+    def test_sharded_step3d_matches_reference(self, space_mesh):
+        from smokephysai_tpu.parallel.sharded_solver3d import sharded_step3d
+        from smokephysai_tpu.physics.solver3d import step3d
+
+        s_ref = s_shard = self._dev_state()
+        for _ in range(3):
+            s_ref = step3d(s_ref, dt=0.01, viscosity=0.001, num_cg_iters=10)
+            s_shard = sharded_step3d(
+                s_shard, space_mesh, dt=0.01, viscosity=0.001,
+                num_cg_iters=10,
+            )
+        for f in ("density", "u", "v", "w", "p"):
+            # rtol term: p is O(5) and the CG dots' psum reduction-order
+            # drift compounds over the 3 steps (~1 ULP/dot/iteration)
+            np.testing.assert_allclose(
+                np.asarray(getattr(s_shard, f)),
+                np.asarray(getattr(s_ref, f)),
+                atol=2e-5,
+                rtol=1e-4,
+                err_msg=f,
+            )
+
+    def test_sharded_multi_step3d_matches_reference(self, space_mesh):
+        from smokephysai_tpu.parallel.sharded_solver3d import (
+            sharded_multi_step3d,
+        )
+        from smokephysai_tpu.physics.solver3d import multi_step3d
+
+        s = self._dev_state(seed=4)
+        _, t_sharded = sharded_multi_step3d(
+            s, space_mesh, 3, num_cg_iters=8
+        )
+        _, t_ref = multi_step3d(s, 3, num_cg_iters=8)
+        np.testing.assert_allclose(
+            np.asarray(t_sharded), np.asarray(t_ref), atol=2e-5
+        )
+
+    def test_sharded_step3d_gather_path(self, space_mesh):
+        """max_disp taps > 1 still agree (wider halos)."""
+        from smokephysai_tpu.parallel.sharded_solver3d import sharded_step3d
+        from smokephysai_tpu.physics.solver3d import step3d
+
+        s = self._dev_state(d=16, h=8, w=8, seed=5)
+        ref = step3d(s, num_cg_iters=6, max_disp=2)
+        got = sharded_step3d(s, space_mesh, num_cg_iters=6, max_disp=2)
+        np.testing.assert_allclose(
+            np.asarray(got.density), np.asarray(ref.density), atol=2e-5
+        )
