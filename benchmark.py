@@ -138,6 +138,49 @@ def evaluate_traditional_cv(batches):
     }
 
 
+def evaluate_traditional_cv3d(batches):
+    """Volumetric CV baselines (protocol defined in PARITY.md — the
+    reference benchmark.py:161-211 is 2D-only, so there is no torch-side
+    analog): per-z-slice Farneback flow + warp (the 2D baseline applied
+    slicewise, the standard volumetric extension of dense optical flow) and
+    persistence (next volume = current volume), both on uint8 0-255 voxels
+    to match the reference's mixed-scale convention."""
+    results = {
+        "Farneback-slice": {"mse": [], "time": []},
+        "Persistence": {"mse": [], "time": []},
+    }
+    for batch in batches:
+        prev_vols = (np.asarray(batch["input"][..., 0]) * 255).astype(np.uint8)
+        next_vols = (np.asarray(batch["target"][..., 0]) * 255).astype(np.uint8)
+        for prev, nxt in zip(prev_vols, next_vols):  # [D, H, W]
+            t0 = time.time()
+            pred = np.stack(
+                [
+                    warp_with_flow(p, farneback_flow(p, n))
+                    for p, n in zip(prev, nxt)
+                ]
+            )
+            results["Farneback-slice"]["time"].append(time.time() - t0)
+            results["Farneback-slice"]["mse"].append(
+                float(np.mean((nxt.astype(np.float64) - pred) ** 2))
+            )
+            results["Persistence"]["time"].append(0.0)
+            results["Persistence"]["mse"].append(
+                float(
+                    np.mean(
+                        (nxt.astype(np.float64) - prev.astype(np.float64)) ** 2
+                    )
+                )
+            )
+    return {
+        name: {
+            "mse": float(np.mean(r["mse"])),
+            "inference_time": float(np.mean(r["time"])),
+        }
+        for name, r in results.items()
+    }
+
+
 def print_results(model_results, cv_results):
     """Fixed-width results table (reference benchmark.py:213-234)."""
     print("\n" + "=" * 60)
@@ -182,18 +225,34 @@ def main():
     model, variables = load_model(config, args.checkpoint)
     predict = make_predictor(model, variables, chaos_seed=config["tpu"]["seed"])
 
-    dataset = SyntheticSmokeDataset(
-        num_samples=args.num_samples,
-        grid_size=tuple(config["data"]["grid_size"]),
-        sequence_length=config["data"]["sequence_length"],
-        seed=config["tpu"]["seed"] + 1000,
-        use_pallas=config["tpu"]["use_pallas"],
-        vorticity_eps=config["tpu"]["vorticity_eps"],
-    )
+    grid = tuple(config["data"]["grid_size"])
+    volumetric = len(grid) == 3
+    if volumetric:
+        # 3D protocol (PARITY.md): held-out volumes, batch 1, slicewise
+        # Farneback + persistence baselines
+        from smokephysai_tpu.data.synthetic3d import SyntheticSmokeDataset3D
+
+        dataset = SyntheticSmokeDataset3D(
+            num_samples=args.num_samples,
+            grid_size=grid,
+            sequence_length=config["data"]["sequence_length"],
+            seed=config["tpu"]["seed"] + 1000,
+        )
+        batch_size = 1
+    else:
+        dataset = SyntheticSmokeDataset(
+            num_samples=args.num_samples,
+            grid_size=grid,
+            sequence_length=config["data"]["sequence_length"],
+            seed=config["tpu"]["seed"] + 1000,
+            use_pallas=config["tpu"]["use_pallas"],
+            vorticity_eps=config["tpu"]["vorticity_eps"],
+        )
+        batch_size = 4
 
     def batches():
         return dataset.epoch_batches(
-            jax.random.PRNGKey(0), batch_size=4, shuffle=False
+            jax.random.PRNGKey(0), batch_size=batch_size, shuffle=False
         )
 
     # compile warm-up outside the timed loop
@@ -204,7 +263,11 @@ def main():
     model_results = evaluate_model(predict, batches())
 
     print("\nEvaluating traditional computer vision methods...")
-    cv_results = evaluate_traditional_cv(batches())
+    cv_results = (
+        evaluate_traditional_cv3d(batches())
+        if volumetric
+        else evaluate_traditional_cv(batches())
+    )
 
     print_results(model_results, cv_results)
 

@@ -43,20 +43,35 @@ def run_evaluation(
 
     # Held-out episodes: same generator as training/benchmark val splits but
     # a distinct seed stream (seed+2; val uses seed+1 in create_data_loaders).
-    ds = SyntheticSmokeDataset(
-        num_samples=num_samples,
-        grid_size=grid_size,
-        sequence_length=config["data"]["sequence_length"],
-        seed=config["tpu"].get("seed", 0) + 2,
-        use_pallas=config["tpu"].get("use_pallas", False),
-        vorticity_eps=config["tpu"].get("vorticity_eps", 0.0),
-    )
+    if len(grid_size) == 3:
+        # volumetric branch (3D protocol defined in PARITY.md): same report
+        # sections over [N, D, H, W, 1] volumes, slicewise SSIM
+        from smokephysai_tpu.data.synthetic3d import SyntheticSmokeDataset3D
+
+        ds3 = SyntheticSmokeDataset3D(
+            num_samples=num_samples,
+            grid_size=grid_size,
+            sequence_length=config["data"]["sequence_length"],
+            seed=config["tpu"].get("seed", 0) + 2,
+        )
+        t = config["data"]["sequence_length"] // 2
+        seqs = np.asarray(ds3._sequences)  # [N, T, D, H, W]
+        chaos = np.asarray(ds3._chaos)
+    else:
+        ds = SyntheticSmokeDataset(
+            num_samples=num_samples,
+            grid_size=grid_size,
+            sequence_length=config["data"]["sequence_length"],
+            seed=config["tpu"].get("seed", 0) + 2,
+            use_pallas=config["tpu"].get("use_pallas", False),
+            vorticity_eps=config["tpu"].get("vorticity_eps", 0.0),
+        )
+        t = config["data"]["sequence_length"] // 2
+        seqs = np.asarray(ds.data["sequences"])  # [N, T, H, W]
+        chaos = np.asarray(ds.data["chaos"])  # [N, 3] lyap/fractal/entropy
     # one mid-sequence frame per episode, next frame as target
-    t = config["data"]["sequence_length"] // 2
-    seqs = np.asarray(ds.data["sequences"])  # [N, T, H, W]
-    inputs = jnp.asarray(seqs[:, t][..., None])  # NHWC
+    inputs = jnp.asarray(seqs[:, t][..., None])  # NHWC / NDHWC
     targets = jnp.asarray(seqs[:, t + 1][..., None])
-    chaos = np.asarray(ds.data["chaos"])  # [N, 3] lyapunov/fractal/entropy
 
     report = {}
 

@@ -121,20 +121,77 @@ class PerturbationTester:
         (reference perturbation_tests.py:96-143), with all scenarios
         simulated in one vmapped program."""
         key = key if key is not None else jax.random.PRNGKey(0)
-        params = sample_source_params(key, num_tests, grid_size)
-        seqs, _ = jax.vmap(
-            lambda xy, inten, act: simulate_episode(
-                xy, inten, act, grid_size=tuple(grid_size),
-                num_steps=num_steps, dt=dt, viscosity=viscosity,
+        if len(grid_size) == 3:
+            feats = self._physics_scenarios3d(
+                predict, tuple(grid_size), num_tests, num_steps, key, dt,
+                viscosity,
             )
-        )(params["xy"], params["intensity"], params["active"])
-        # [N, T, H, W] -> predict physics features per frame
-        N, T, H, W = seqs.shape
-        frames = seqs.reshape(N * T, H, W, 1)
-        feats = predict(frames)["physics_features"].reshape(N, T, 3)
+        else:
+            params = sample_source_params(key, num_tests, grid_size)
+            seqs, _ = jax.vmap(
+                lambda xy, inten, act: simulate_episode(
+                    xy, inten, act, grid_size=tuple(grid_size),
+                    num_steps=num_steps, dt=dt, viscosity=viscosity,
+                )
+            )(params["xy"], params["intensity"], params["active"])
+            # [N, T, H, W] -> predict physics features per frame
+            N, T, H, W = seqs.shape
+            frames = seqs.reshape(N * T, H, W, 1)
+            feats = predict(frames)["physics_features"].reshape(N, T, 3)
         pred_var = jnp.mean(jnp.var(feats, axis=1), axis=-1)  # [N]
         avg_variance = float(jnp.mean(pred_var))
         return {
             "physics_prediction_stability": 1.0 / (1.0 + avg_variance),
             "num_tests": num_tests,
         }
+
+    @staticmethod
+    def _physics_scenarios3d(
+        predict: Predictor, grid_size, num_tests, num_steps, key, dt,
+        viscosity,
+    ) -> Array:
+        """Volumetric scenario features [N, T, 3] (3D protocol, PARITY.md):
+        same stability definition, with simulation and prediction chunked —
+        a 128^3 x T episode is ~100 MB of HBM, so neither the vmapped sim
+        nor one [N*T, D, H, W, 1] predict batch fits at num_tests=50."""
+        import numpy as np
+
+        from smokephysai_tpu.data.synthetic3d import sample_source_params3d
+        from smokephysai_tpu.physics.simulator3d import simulate_episode3d
+
+        d, h, w = grid_size
+        params = sample_source_params3d(key, num_tests, grid_size)
+        sim = jax.jit(
+            jax.vmap(
+                lambda xyz, inten, act: simulate_episode3d(
+                    xyz, inten, act, grid_size=grid_size,
+                    num_steps=num_steps, dt=dt, viscosity=viscosity,
+                )
+            )
+        )
+        sim_chunk = max(1, (8 * 64**3) // (d * h * w))
+        feat_chunks = []
+        for start in range(0, num_tests, sim_chunk):
+            end = min(start + sim_chunk, num_tests)
+            seqs, _ = sim(
+                params["xyz"][start:end],
+                params["intensity"][start:end],
+                params["active"][start:end],
+            )  # [n, T, D, H, W]
+            n, T = seqs.shape[:2]
+            frames = seqs.reshape(n * T, d, h, w, 1)
+            # predict in fixed-size volume chunks (static predict shapes)
+            pc = max(1, min(n * T, (4 * 64**3) // (d * h * w) + 1))
+            fs = []
+            for fstart in range(0, n * T, pc):
+                blk = frames[fstart : fstart + pc]
+                if blk.shape[0] < pc:  # pad tail to the jitted shape
+                    pad = pc - blk.shape[0]
+                    blk = jnp.concatenate([blk, blk[-1:].repeat(pad, 0)], 0)
+                    fs.append(
+                        np.asarray(predict(blk)["physics_features"])[:-pad]
+                    )
+                else:
+                    fs.append(np.asarray(predict(blk)["physics_features"]))
+            feat_chunks.append(np.concatenate(fs).reshape(n, T, 3))
+        return jnp.asarray(np.concatenate(feat_chunks))

@@ -43,10 +43,20 @@ class RobustnessEvaluator:
     def evaluate_reconstruction_quality(
         self, predict: Predictor, test_data: Array, targets: Array
     ) -> Dict[str, float]:
-        """SSIM / PSNR / MSE (reference robustness_metrics.py:50-103)."""
+        """SSIM / PSNR / MSE (reference robustness_metrics.py:50-103).
+
+        Volumetric inputs ([N, D, H, W, 1]) use slicewise SSIM — the window
+        runs over each z slice and the score averages across slices (3D
+        protocol defined in PARITY.md; the reference metric is 2D-only)."""
         recon = predict(test_data)["reconstructed"]
+        if recon.ndim == 5:
+            n, d, h, w, c = recon.shape
+            recon_s = recon.reshape(n * d, h, w, c)
+            targets_s = jnp.asarray(targets).reshape(n * d, h, w, c)
+        else:
+            recon_s, targets_s = recon, targets
         return {
-            "ssim": float(M.ssim(recon, targets)),
+            "ssim": float(M.ssim(recon_s, targets_s)),
             "psnr": float(M.psnr(recon, targets)),
             "mse": float(M.mse(recon, targets)),
         }

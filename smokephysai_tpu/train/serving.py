@@ -27,6 +27,22 @@ def build_model(
     mc = config["model"]
     tpu_cfg = config.get("tpu", {})
     dtype = jnp.dtype(tpu_cfg.get("compute_dtype", "float32"))
+    if len(config.get("data", {}).get("grid_size", (0, 0))) == 3:
+        # volumetric config (BASELINE configs[3]) -> SmokePhysNet3D; the 2D
+        # SP/pipeline knobs don't apply to the 512-token volume trunk
+        from smokephysai_tpu.models.net3d import SmokePhysNet3D
+
+        return SmokePhysNet3D(
+            hidden_dim=mc["hidden_dim"],
+            num_layers=mc["num_layers"],
+            num_heads=mc["num_heads"],
+            output_channels=mc.get("output_channels", 32),
+            chaos_strength=mc["chaos_strength"],
+            bn_axis_name=bn_axis_name,
+            dtype=dtype,
+            use_flash=tpu_cfg.get("use_flash", False),
+            fast_math=tpu_cfg.get("fast_math", False),
+        )
     ring_axis = tpu_cfg.get("ring_axis")
     if ring_axis is not None and (mesh is None or mesh.shape[ring_axis] == 1):
         ring_axis = None  # ring over a size-1 axis is just full attention
@@ -41,6 +57,7 @@ def build_model(
         dtype=dtype,
         use_flash=tpu_cfg.get("use_flash", False),
         fast_math=tpu_cfg.get("fast_math", False),
+        fast_encoder=tpu_cfg.get("fast_encoder", False),
         ring_axis=ring_axis,
         ring_mesh=mesh if ring_axis is not None else None,
         sp_impl=tpu_cfg.get("sp_impl", "ring"),
