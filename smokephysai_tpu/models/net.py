@@ -110,9 +110,15 @@ class SmokePhysNet(nn.Module):
     # memory ~ 1 block instead of num_layers; for big batches / 1024^2 grids)
     fast_math: bool = False  # bf16 residual stream in the trunk (serving
     # fast path; see ChaosTransformerLayer.fast_math)
+    fast_encoder: bool = False  # pool oversize inputs to input_dim^2 BEFORE
+    # the conv encoder (documented divergence, PARITY.md): the parity path
+    # runs enc_conv2 at full resolution then pools — ~154 GFLOP/frame and a
+    # 268 MB activation at 1024^2 for features that are immediately pooled
+    # to the 32^2 token grid. Pool-first cuts encoder cost ~64x at 1024^2;
+    # exact no-op whenever the input is already input_dim^2.
     use_flash: bool = False  # route attention through the Pallas flash
-    # kernel (ops/pallas/attention.py); inference/eval path — the kernel has
-    # no custom VJP, so training keeps the einsum path
+    # kernel (ops/pallas/attention.py); has a Pallas custom VJP, so it
+    # serves both inference and training
     ring_axis: str | None = None  # sequence parallelism over this mesh axis
     ring_mesh: object = None  # jax.sharding.Mesh backing ring_axis
     sp_impl: str = "ring"  # 'ring' (ppermute K/V) or 'ulysses' (all-to-all)
@@ -165,6 +171,11 @@ class SmokePhysNet(nn.Module):
         (re-interpolated) positional embedding (smokephys_net.py:24-38,
         :87-107). Returns token features [B, 1024, hidden_dim]."""
         B = x.shape[0]
+        if self.fast_encoder and x.shape[1:3] != (self.input_dim, self.input_dim):
+            # fast-serving divergence: pool the frame to the working
+            # resolution first (see class docstring); the parity path pools
+            # AFTER enc_conv2 instead
+            x = adaptive_avg_pool2d(x, (self.input_dim, self.input_dim))
         # 1. conv encoder (smokephys_net.py:24-32)
         h = self.enc_conv1(x)
         h = jax.nn.relu(self.enc_bn1(h, use_running_average=not train))

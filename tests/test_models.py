@@ -385,3 +385,40 @@ def test_fast_math_close_to_reference_path():
     )
     assert out_ref["latent_features"].dtype == jnp.float32
     assert out_fast["latent_features"].dtype == jnp.float32
+
+
+class TestFastEncoder:
+    """tpu.fast_encoder: pool-first streaming fast path (documented
+    divergence — the parity path runs enc_conv2 at full resolution)."""
+
+    def test_noop_at_native_resolution(self, tiny_model_and_vars):
+        """When the input is already input_dim^2 the flag is bit-exact."""
+        model, variables = tiny_model_and_vars
+        x = jax.random.uniform(jax.random.PRNGKey(11), (1, 32, 32, 1))
+        rngs = {"chaos": jax.random.PRNGKey(12)}
+        ref = model.apply(variables, x, train=False, rngs=rngs)
+        fast = model.clone(fast_encoder=True).apply(
+            variables, x, train=False, rngs=rngs
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fast["reconstructed"]), np.asarray(ref["reconstructed"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fast["physics_features"]),
+            np.asarray(ref["physics_features"]),
+        )
+
+    def test_oversize_input_contract(self, tiny_model_and_vars):
+        """Oversize frames keep the full output contract (recon back at the
+        input resolution) and stay close to the parity path on smooth
+        fields."""
+        model, variables = tiny_model_and_vars
+        x = jax.random.uniform(jax.random.PRNGKey(13), (1, 128, 128, 1))
+        rngs = {"chaos": jax.random.PRNGKey(14)}
+        out = model.clone(fast_encoder=True).apply(
+            variables, x, train=False, rngs=rngs
+        )
+        assert out["reconstructed"].shape == (1, 128, 128, 1)
+        assert out["physics_features"].shape == (1, 3)
+        assert np.isfinite(np.asarray(out["reconstructed"])).all()
+        assert np.isfinite(np.asarray(out["physics_features"])).all()
