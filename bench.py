@@ -130,9 +130,15 @@ def bench_sim_compute(grid=256, use_pallas=False):
     return 1000.0 / (t1200 - t200)
 
 
-def bench_streaming(grid=1024, frames=30, use_flash=False, fast_math=False):
+def bench_streaming(
+    grid=1024, frames=30, use_flash=False, fast_math=False,
+    fast_encoder=False,
+):
     """Fused sim+encode streaming rollout fps at `grid`^2 (BASELINE.json
-    configs[4]: 'Streaming 30fps 1024x1024 video')."""
+    configs[4]: 'Streaming 30fps 1024x1024 video'). `fast_encoder` pools
+    the frame to 128^2 before the conv encoder (documented divergence —
+    the full-res enc_conv2 is ~154 GFLOP/frame, ~2/3 of the parity
+    frame)."""
     import jax
     import jax.numpy as jnp
 
@@ -153,6 +159,7 @@ def bench_streaming(grid=1024, frames=30, use_flash=False, fast_math=False):
             "compute_dtype": "bfloat16",
             "use_flash": use_flash,
             "fast_math": fast_math,
+            "fast_encoder": fast_encoder,
         },
     }
     model = build_model(config)
@@ -170,11 +177,69 @@ def bench_streaming(grid=1024, frames=30, use_flash=False, fast_math=False):
         lambda s: streaming_rollout(model, variables, s, num_frames=frames)
     )
     final, outs = roll(state)  # compile + warm
-    jax.block_until_ready(outs["physics_features"])
+    float(jnp.sum(outs["physics_features"]))  # scalar readback (tunnel-safe)
     t0 = time.perf_counter()
     final, outs = roll(state)
-    jax.block_until_ready(outs["physics_features"])
+    float(jnp.sum(outs["physics_features"]))
     return frames / (time.perf_counter() - t0)
+
+
+def bench_train_step(
+    train_dtype="float32", use_flash=False, fast_math=False,
+    batch=8, grid=128,
+):
+    """Training-step device time (ms) + MFU at the reference recipe's shape
+    (batch 8, 128^2 — reference train.py:41-127). Slope timing over chained
+    donated steps (60 vs 10 reps) cancels the ~25 ms tunnel dispatch that a
+    real epoch loop never pays back-to-back. MFU uses XLA's own FLOP count
+    for the whole fwd+bwd+AdamW program (the flash kernels' FLOPs aren't in
+    cost_analysis, so flash variants undercount actual work). Returns
+    (ms_per_step, mfu_or_None)."""
+    import jax
+
+    from smokephysai_tpu.train.loop import create_train_state, make_train_step
+    from smokephysai_tpu.utils.config import load_config
+    from smokephysai_tpu.utils.profiling import mfu
+
+    config = load_config()
+    config["tpu"]["train_compute_dtype"] = train_dtype
+    config["tpu"]["use_flash"] = use_flash
+    config["tpu"]["fast_math"] = fast_math
+    state = create_train_state(config, jax.random.PRNGKey(0))
+    tstep = make_train_step(config["physics"])
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 3)
+    b = {
+        "input": jax.random.uniform(ks[0], (batch, grid, grid, 1)),
+        "target": jax.random.uniform(ks[1], (batch, grid, grid, 1)),
+        "chaos_features": jax.random.uniform(ks[2], (batch, 3)),
+    }
+    flops = None
+    try:
+        cost = tstep.lower(state, b, key).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost["flops"])
+    except Exception:
+        pass
+    state, m = tstep(state, b, key)  # compile + warm
+    float(m["total_loss"])
+
+    def run(n):
+        nonlocal state
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, m = tstep(state, b, key)
+            float(m["total_loss"])  # scalar readback (tunnel-safe sync)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t10, t60 = run(10), run(60)
+    ms = (t60 - t10) / 50.0 * 1000.0
+    u = mfu(flops / (ms / 1000.0)) if flops else None
+    return ms, u
 
 
 def _mark(name):
@@ -252,13 +317,64 @@ def main():
         extra["sim3d_steps_per_sec_128cubed"] = round(
             n3 / (time.perf_counter() - t0), 1
         )
+
+        # fused whole-step VMEM kernel (ops/pallas/fused_step3d.py): one
+        # HBM round-trip of the state per step vs XLA's ~10
+        from smokephysai_tpu.ops.pallas.fused_step3d import (
+            fused_step3d_pallas,
+        )
+
+        def _fused_loop(matvec):
+            def body(_, c):
+                u, v, w, p, d = fused_step3d_pallas(
+                    c.u, c.v, c.w, c.p, c.density, num_cg_iters=30,
+                    matvec=matvec,
+                )
+                return c.replace(u=u, v=v, w=w, p=p, density=d)
+
+            return _j.jit(lambda st: _lax.fori_loop(0, n3, body, st))
+
+        for mv in ("shift", "mxu"):
+            ff = _fused_loop(mv)
+            float(ff(s3).density.sum())  # compile + warm
+            t0 = time.perf_counter()
+            float(ff(s3).density.sum())
+            extra[f"sim3d_steps_per_sec_128cubed_fused_{mv}"] = round(
+                n3 / (time.perf_counter() - t0), 1
+            )
     except Exception as e:  # pragma: no cover
         extra["sim3d_error"] = str(e)[:200]
+    try:
+        # training-step throughput (the path that produced every committed
+        # checkpoint): f32 parity recipe vs the bf16 mixed-precision path
+        # (tpu.train_compute_dtype). MFU uses XLA's own FLOP count for the
+        # whole fwd+bwd+AdamW program.
+        _mark("train step")
+        f32_ms, f32_mfu = bench_train_step("float32")
+        extra["train_step_ms_f32"] = round(f32_ms, 2)
+        if f32_mfu:
+            extra["train_mfu_f32"] = round(f32_mfu, 3)
+        bf16_ms, _ = bench_train_step("bfloat16", use_flash=True)
+        extra["train_step_ms_bf16_flash"] = round(bf16_ms, 2)
+        fast_ms, fast_mfu = bench_train_step(
+            "bfloat16", use_flash=True, fast_math=True
+        )
+        extra["train_step_ms_bf16_flash_fast"] = round(fast_ms, 2)
+        if fast_mfu:
+            extra["train_mfu_bf16_flash_fast"] = round(fast_mfu, 3)
+    except Exception as e:  # pragma: no cover
+        extra["train_step_error"] = str(e)[:200]
     try:
         _mark("streaming")
         extra["streaming_fps_1024"] = round(bench_streaming(), 1)
         extra["streaming_fps_1024_flash_fast"] = round(
             bench_streaming(use_flash=True, fast_math=True), 1
+        )
+        # + pool-first encoder (tpu.fast_encoder, documented divergence):
+        # skips the ~154 GFLOP full-res enc_conv2 that dominates the frame
+        extra["streaming_fps_1024_fast_encoder"] = round(
+            bench_streaming(use_flash=True, fast_math=True,
+                            fast_encoder=True), 1
         )
     except Exception as e:  # pragma: no cover
         extra["streaming_error"] = str(e)[:200]

@@ -1,0 +1,355 @@
+"""Fused whole-step 3D solver kernel: the COMPLETE `solver3d.step3d`
+pipeline — buoyancy, 4x diffusion, divergence, the CG pressure solve,
+velocity correction, 4x tent advection, restagger, decay — as ONE
+VMEM-resident Pallas program per step (VERDICT r2 directive #4; the stated
+prerequisite for beating XLA's well-fused CG chain after the standalone CG
+kernel measured on-par, ops/pallas/cg3d.py).
+
+Memory: a 128^3 f32 volume is 8.4 MB; the step's peak holds ~11 live
+volumes (state in/out, CG {r, d, Ad, div}, centred velocities, advection
+temporaries) ~= 92 MB — inside the v5e's 128 MB VMEM with the per-kernel
+limit raised via CompilerParams. The staggered u field's (d, h, w+1) shape
+lane-pads to 2x; every other buffer keeps the volume's aligned layout
+(the 2D kernel's hard-won rule: no padded copies, zero-filled concatenate
+taps only — ops/pallas/fused_step.py:125).
+
+The CG matvec has two interchangeable forms (static `matvec`):
+  * 'shift' — zero-shift concatenates (cg3d.py's formulation).
+  * 'mxu'   — the z and x second-difference sums as MXU matmuls against
+    precomputed tridiagonal shift matrices (reshape (d, h*w) / (d*h, w)),
+    y via sublane-shift concatenates. The 7-point Laplacian decomposes as
+    Lap = Sz + Sy + Sx - 6I with S the +-1 shift sum along one axis; the
+    matmul accumulates exactly (all other coefficients are 0.0), so both
+    forms agree to f32 associativity.
+
+Reference analog: none (reference navier_stokes.py is single-device 2D);
+numerics are element-for-element `step3d` (tests/test_pallas.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import use_interpret
+
+Array = jnp.ndarray
+
+_VMEM_LIMIT = 116 * 1024 * 1024
+VMEM_BUDGET_BYTES = 96 * 1024 * 1024
+_STEP_VOLUMES = 11
+
+
+def fits_fused_step3d(grid_size: Tuple[int, int, int]) -> bool:
+    """VMEM feasibility gate (lane-aligned last axis required)."""
+    d, h, w = grid_size
+    return (
+        _STEP_VOLUMES * d * h * w * 4 <= VMEM_BUDGET_BYTES and w % 128 == 0
+    )
+
+
+# ------------------------------------------------------------- primitives
+def _shift(f: Array, axis: int, off: int, fill: str = "zero") -> Array:
+    """f shifted by `off` along `axis`, vacated planes zero- or
+    edge-filled, output at f's own (aligned) shape."""
+    if off == 0:
+        return f
+    n = f.shape[axis]
+    if off > 0:  # bring plane i+off to i
+        body = lax.slice_in_dim(f, off, n, axis=axis)
+        edge = (
+            lax.slice_in_dim(f, n - 1, n, axis=axis)
+            if fill == "edge"
+            else jnp.zeros_like(lax.slice_in_dim(f, 0, off, axis=axis))
+        )
+        parts = [body] + [edge] * (off if fill == "edge" else 1)
+        if fill == "zero":
+            return jnp.concatenate([body, edge], axis=axis)
+        return jnp.concatenate(parts, axis=axis)
+    off = -off
+    body = lax.slice_in_dim(f, 0, n - off, axis=axis)
+    edge = (
+        lax.slice_in_dim(f, 0, 1, axis=axis)
+        if fill == "edge"
+        else jnp.zeros_like(lax.slice_in_dim(f, 0, off, axis=axis))
+    )
+    if fill == "zero":
+        return jnp.concatenate([edge, body], axis=axis)
+    return jnp.concatenate([edge] * off + [body], axis=axis)
+
+
+def _diffuse_val3(f: Array, coef) -> Array:
+    """solver3d.diffuse3d on a VMEM value (replicate-pad 7-point)."""
+    lap = (
+        _shift(f, 0, -1, "edge") + _shift(f, 0, 1, "edge")
+        + _shift(f, 1, -1, "edge") + _shift(f, 1, 1, "edge")
+        + _shift(f, 2, -1, "edge") + _shift(f, 2, 1, "edge")
+        - 6.0 * f
+    )
+    return f + coef * lap
+
+
+def _neg_lap_shift(x: Array) -> Array:
+    """-Laplacian, zero-Dirichlet, via zero-shift concatenates."""
+    return -(
+        _shift(x, 0, -1) + _shift(x, 0, 1)
+        + _shift(x, 1, -1) + _shift(x, 1, 1)
+        + _shift(x, 2, -1) + _shift(x, 2, 1)
+        - 6.0 * x
+    )
+
+
+def _neg_lap_mxu(x: Array, sz: Array, sx: Array) -> Array:
+    """-Laplacian with the z / x shift sums on the MXU.
+
+    sz (d, d) and sx (w, w) are 0/1 super+sub-diagonal matrices; rows
+    beyond the boundary are all-zero, which IS the zero-Dirichlet
+    condition. y stays a sublane-shift concatenate (the dot_general form
+    would transpose the output)."""
+    d, h, w = x.shape
+    zsum = jax.lax.dot_general(
+        sz, x.reshape(d, h * w), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(d, h, w)
+    xsum = jax.lax.dot_general(
+        x.reshape(d * h, w), sx, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(d, h, w)
+    ysum = _shift(x, 1, -1) + _shift(x, 1, 1)
+    return -(zsum + ysum + xsum - 6.0 * x)
+
+
+def _cg_val3(p, div, num_iters: int, neg_lap) -> Array:
+    """solver3d.cg_pressure on VMEM values (same guards/iteration count)."""
+    b = -div
+    r = b - neg_lap(p)
+    d0 = r
+    rs = jnp.sum(r * r)
+
+    def body(_, carry):
+        p, r, d, rs = carry
+        Ad = neg_lap(d)
+        denom = jnp.sum(d * Ad)
+        alpha = jnp.where(denom > 0, rs / (denom + 1e-30), 0.0)
+        p = p + alpha * d
+        r = r - alpha * Ad
+        rs_new = jnp.sum(r * r)
+        beta = jnp.where(rs > 0, rs_new / (rs + 1e-30), 0.0)
+        d = r + beta * d
+        return p, r, d, rs_new
+
+    p, _, _, _ = lax.fori_loop(0, num_iters, body, (p, r, d0, rs))
+    return p
+
+
+def _advect_val3(field, pz, py, px, zc, yc, xc, D: int) -> Array:
+    """trilinear_shift_sample on VMEM values: (2D+1)^3 zero-shift taps,
+    identical loop order / accumulation to solver3d.py:137-150."""
+    out = jnp.zeros_like(field)
+    for dz in range(-D, D + 1):
+        fz = _shift(field, 0, dz)
+        wz = jnp.maximum(0.0, 1.0 - jnp.abs(pz - (zc + dz)))
+        for dy in range(-D, D + 1):
+            fzy = _shift(fz, 1, dy)
+            wzy = wz * jnp.maximum(0.0, 1.0 - jnp.abs(py - (yc + dy)))
+            for dx in range(-D, D + 1):
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(px - (xc + dx)))
+                out = out + wzy * wx * _shift(fzy, 2, dx)
+    return out
+
+
+# ------------------------------------------------------------- step body
+def _step_vals3(
+    u, v, w_vel, p, density,
+    dt, viscosity, sz, sx,
+    *, buoyancy: float, num_cg_iters: int, max_disp: int, matvec: str,
+):
+    d, h, w = density.shape
+
+    # 1. buoyancy on vertical faces (step3d: w[:-1] += dt*b*density)
+    w_vel = jnp.concatenate(
+        [w_vel[:-1] + dt * buoyancy * density, w_vel[-1:]], axis=0
+    )
+
+    # 2. diffusion
+    u = _diffuse_val3(u, dt * viscosity)
+    v = _diffuse_val3(v, dt * viscosity)
+    w_vel = _diffuse_val3(w_vel, dt * viscosity)
+    density = _diffuse_val3(density, dt * viscosity * 0.1)
+
+    # 3. CG pressure projection
+    div = (
+        u[:, :, 1:] - u[:, :, :-1]
+        + v[:, 1:, :] - v[:, :-1, :]
+        + w_vel[1:] - w_vel[:-1]
+    ) / dt
+    neg_lap = (
+        (lambda x: _neg_lap_mxu(x, sz, sx))
+        if matvec == "mxu"
+        else _neg_lap_shift
+    )
+    p = _cg_val3(p, div, num_cg_iters, neg_lap)
+    u = jnp.concatenate(
+        [
+            u[:, :, :1],
+            u[:, :, 1:-1] - dt * (p[:, :, 1:] - p[:, :, :-1]),
+            u[:, :, -1:],
+        ],
+        axis=2,
+    )
+    v = jnp.concatenate(
+        [
+            v[:, :1, :],
+            v[:, 1:-1, :] - dt * (p[:, 1:, :] - p[:, :-1, :]),
+            v[:, -1:, :],
+        ],
+        axis=1,
+    )
+    w_vel = jnp.concatenate(
+        [w_vel[:1], w_vel[1:-1] - dt * (p[1:] - p[:-1]), w_vel[-1:]], axis=0
+    )
+
+    # 4. advection (centred velocities, sequential update order)
+    uc = 0.5 * (u[:, :, :-1] + u[:, :, 1:])
+    vc = 0.5 * (v[:, :-1, :] + v[:, 1:, :])
+    wc = 0.5 * (w_vel[:-1] + w_vel[1:])
+
+    zc = lax.broadcasted_iota(jnp.int32, (d, h, w), 0).astype(density.dtype)
+    yc = lax.broadcasted_iota(jnp.int32, (d, h, w), 1).astype(density.dtype)
+    xc = lax.broadcasted_iota(jnp.int32, (d, h, w), 2).astype(density.dtype)
+
+    def backtrace(ucf, vcf, wcf):
+        return (
+            jnp.clip(zc - dt * wcf, 0, d - 1),
+            jnp.clip(yc - dt * vcf, 0, h - 1),
+            jnp.clip(xc - dt * ucf, 0, w - 1),
+        )
+
+    D = max_disp
+    pz, py, px = backtrace(uc, vc, wc)
+    uc_a = _advect_val3(uc, pz, py, px, zc, yc, xc, D)
+    pz, py, px = backtrace(uc_a, vc, wc)
+    vc_a = _advect_val3(vc, pz, py, px, zc, yc, xc, D)
+    pz, py, px = backtrace(uc_a, vc_a, wc)
+    wc_a = _advect_val3(wc, pz, py, px, zc, yc, xc, D)
+    pz, py, px = backtrace(uc_a, vc_a, wc_a)
+    density = _advect_val3(density, pz, py, px, zc, yc, xc, D)
+
+    # restagger centred velocities back to faces (interior average,
+    # replicate at boundary faces — step3d's restagger)
+    def restagger(c, axis):
+        n = c.shape[axis]
+        lo = lax.slice_in_dim(c, 0, 1, axis=axis)
+        hi = lax.slice_in_dim(c, n - 1, n, axis=axis)
+        mids = 0.5 * (
+            lax.slice_in_dim(c, 0, n - 1, axis=axis)
+            + lax.slice_in_dim(c, 1, n, axis=axis)
+        )
+        return jnp.concatenate([lo, mids, hi], axis=axis)
+
+    u = restagger(uc_a, 2)
+    v = restagger(vc_a, 1)
+    w_vel = restagger(wc_a, 0)
+
+    # 5. decay
+    return u, v, w_vel, p, density * 0.995
+
+
+def _fused_step3d_kernel(
+    scal_ref, sz_ref, sx_ref, u_ref, v_ref, w_ref, p_ref, d_ref,
+    u_out, v_out, w_out, p_out, d_out,
+    *, buoyancy, num_cg_iters, max_disp, matvec,
+):
+    dt, viscosity = scal_ref[0, 0], scal_ref[0, 1]
+    u, v, w_vel, p, density = _step_vals3(
+        u_ref[:], v_ref[:], w_ref[:], p_ref[:], d_ref[:],
+        dt, viscosity, sz_ref[:], sx_ref[:],
+        buoyancy=buoyancy, num_cg_iters=num_cg_iters, max_disp=max_disp,
+        matvec=matvec,
+    )
+    u_out[:] = u
+    v_out[:] = v
+    w_out[:] = w_vel
+    p_out[:] = p
+    d_out[:] = density
+
+
+def _shift_matrix(n: int) -> jnp.ndarray:
+    """0/1 super+sub-diagonal (the +-1 shift-sum operator with implicit
+    zero boundary)."""
+    i = jnp.arange(n)
+    return (
+        (jnp.abs(i[:, None] - i[None, :]) == 1).astype(jnp.float32)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("buoyancy", "num_cg_iters", "max_disp", "matvec"),
+)
+def fused_step3d_pallas(
+    u: Array, v: Array, w_vel: Array, p: Array, density: Array,
+    dt=0.01, viscosity=0.001, buoyancy: float = 0.1,
+    num_cg_iters: int = 30, max_disp: int = 1, matvec: str = "shift",
+) -> Tuple[Array, Array, Array, Array, Array]:
+    """One whole `step3d` in a single VMEM-resident kernel: one HBM read
+    and one write of the five fields per step (the XLA path round-trips
+    every field through HBM ~10 times per step, ~2 GB at 128^3)."""
+    d, h, w = density.shape
+    scal = jnp.stack(
+        [jnp.asarray(dt, jnp.float32), jnp.asarray(viscosity, jnp.float32)]
+    ).reshape(1, 2)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _fused_step3d_kernel,
+            buoyancy=buoyancy, num_cg_iters=num_cg_iters,
+            max_disp=max_disp, matvec=matvec,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(u.shape, u.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct(w_vel.shape, w_vel.dtype),
+            jax.ShapeDtypeStruct(p.shape, p.dtype),
+            jax.ShapeDtypeStruct(density.shape, density.dtype),
+        ],
+        in_specs=[
+            pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
+            vmem, vmem, vmem, vmem, vmem, vmem, vmem,
+        ],
+        out_specs=[vmem] * 5,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=use_interpret(),
+    )(scal, _shift_matrix(d), _shift_matrix(w), u, v, w_vel, p, density)
+
+
+def fused_multi_step3d_pallas(
+    state, num_steps: int, dt=0.01, viscosity=0.001,
+    num_cg_iters: int = 30, max_disp: int = 1, matvec: str = "shift",
+):
+    """Jitted scan over fused whole-step kernels; returns (final state,
+    density trajectory). Inter-step HBM traffic is one state round-trip
+    (~88 MB at 128^3, ~0.1 ms) — the intra-step fusion is where the XLA
+    path's ~2 GB/step goes away, so the time loop stays a scan (which also
+    lets the trajectory stream to HBM for free)."""
+    from smokephysai_tpu.physics.solver3d import SimState3D
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def roll(s: SimState3D, n: int):
+        def body(st, _):
+            u, v, w_vel, p, density = fused_step3d_pallas(
+                st.u, st.v, st.w, st.p, st.density,
+                dt=dt, viscosity=viscosity, num_cg_iters=num_cg_iters,
+                max_disp=max_disp, matvec=matvec,
+            )
+            st = SimState3D(u=u, v=v, w=w_vel, p=p, density=density)
+            return st, st.density
+
+        return lax.scan(body, s, None, length=n)
+
+    return roll(state, num_steps)

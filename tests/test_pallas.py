@@ -3,6 +3,7 @@ CPU, compiled Mosaic on TPU — SURVEY.md §7 layer 1b)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from smokephysai_tpu.ops.pallas.jacobi import jacobi_pressure_pallas
 from smokephysai_tpu.ops.pallas.stencil import diffuse_pallas
@@ -194,3 +195,168 @@ class TestCG3DPallas:
         assert fits_cg3d((128, 128, 128))
         assert not fits_cg3d((512, 512, 512))
         assert not fits_cg3d((16, 16, 100))  # lane-misaligned last axis
+
+
+def test_flash_trainable_gradients_match_einsum():
+    """flash_attention_tokens_trainable's Pallas VJP (the training path's
+    attention) == jax.grad through the einsum reference, all three inputs."""
+    from smokephysai_tpu.ops.pallas.attention import (
+        flash_attention_tokens_trainable,
+    )
+
+    B, L, D, H = 2, 256, 128, 8
+    hd = D // H
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(k1, (B, L, D))
+    k = jax.random.normal(k2, (B, L, D))
+    v = jax.random.normal(k3, (B, L, D))
+    g = jax.random.normal(k4, (B, L, D))
+
+    def ref(q, k, v):
+        split = lambda t: t.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+        s = jnp.einsum("bhid,bhjd->bhij", split(q), split(k)) / np.sqrt(hd)
+        a = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhij,bhjd->bhid", a, split(v))
+        return o.transpose(0, 2, 1, 3).reshape(B, L, D)
+
+    out = flash_attention_tokens_trainable(q, k, v, H, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref(q, k, v)), atol=2e-5
+    )
+    gf = jax.grad(
+        lambda q, k, v: jnp.sum(flash_attention_tokens_trainable(q, k, v, H, 1.0) * g),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gr = jax.grad(
+        lambda q, k, v: jnp.sum(ref(q, k, v) * g), argnums=(0, 1, 2)
+    )(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_flash_trainable_temperature_gradients():
+    from smokephysai_tpu.ops.pallas.attention import (
+        flash_attention_tokens_trainable,
+    )
+
+    B, L, D, H = 1, 128, 64, 4
+    hd = D // H
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(8), 3)
+    q = jax.random.normal(k1, (B, L, D))
+    k = jax.random.normal(k2, (B, L, D))
+    v = jax.random.normal(k3, (B, L, D))
+
+    def ref_loss(q, k, v):
+        split = lambda t: t.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+        s = jnp.einsum("bhid,bhjd->bhij", split(q), split(k)) / (
+            np.sqrt(hd) * 1.5
+        )
+        a = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhij,bhjd->bhid", a, split(v))
+        return jnp.sum(o ** 2)
+
+    flash_loss = lambda q, k, v: jnp.sum(
+        flash_attention_tokens_trainable(q, k, v, H, 1.5) ** 2
+    )
+    gf = jax.grad(flash_loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_train_step_bf16_flash_finite():
+    """create_train_state honours tpu.train_compute_dtype/use_flash/
+    fast_math; one train step produces finite loss and f32 params."""
+    from smokephysai_tpu.train.loop import create_train_state, make_train_step
+    from smokephysai_tpu.utils.config import load_config
+
+    config = load_config()
+    config["data"]["grid_size"] = [64, 64]
+    config["model"]["input_dim"] = 64
+    config["tpu"]["train_compute_dtype"] = "bfloat16"
+    config["tpu"]["use_flash"] = True
+    config["tpu"]["fast_math"] = True
+    state = create_train_state(config, jax.random.PRNGKey(0))
+    # master params stay f32 under mixed precision
+    assert all(
+        leaf.dtype == jnp.float32
+        for leaf in jax.tree_util.tree_leaves(state.params)
+    )
+    tstep = make_train_step(config["physics"])
+    key = jax.random.PRNGKey(1)
+    b = {
+        "input": jax.random.uniform(key, (2, 64, 64, 1)),
+        "target": jax.random.uniform(key, (2, 64, 64, 1)),
+        "chaos_features": jax.random.uniform(key, (2, 3)),
+    }
+    state, m = tstep(state, b, key)
+    assert np.isfinite(float(m["total_loss"]))
+
+
+class TestFusedStep3D:
+    """ops/pallas/fused_step3d.py: the whole-step VMEM kernel must be
+    element-for-element solver3d.step3d (both matvec forms)."""
+
+    def _state(self, shape=(8, 8, 128), seed=21):
+        from smokephysai_tpu.physics.solver3d import (
+            add_smoke_source3d, init_state3d,
+        )
+
+        d, h, w = shape
+        s = init_state3d(shape)
+        s = s.replace(
+            density=add_smoke_source3d(
+                s.density, w / 2, h / 2, d / 2, radius=3.0, intensity=1.5
+            )
+        )
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        return s.replace(
+            u=0.3 * jax.random.normal(k1, (d, h, w + 1)),
+            v=0.3 * jax.random.normal(k2, (d, h + 1, w)),
+            w=0.3 * jax.random.normal(k3, (d + 1, h, w)),
+        )
+
+    @pytest.mark.parametrize("matvec", ["shift", "mxu"])
+    def test_step_matches_xla(self, matvec):
+        from smokephysai_tpu.ops.pallas.fused_step3d import fused_step3d_pallas
+        from smokephysai_tpu.physics.solver3d import step3d
+
+        s = self._state()
+        ref = step3d(s, num_cg_iters=8)
+        u, v, w, p, density = fused_step3d_pallas(
+            s.u, s.v, s.w, s.p, s.density, num_cg_iters=8, matvec=matvec,
+        )
+        for name, got, want in [
+            ("u", u, ref.u), ("v", v, ref.v), ("w", w, ref.w),
+            ("p", p, ref.p), ("density", density, ref.density),
+        ]:
+            # CG dot products reduce in a different order (fori_loop sum
+            # vs interpret-mode numpy sum) -> few-ULP drift on p ~ O(5)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5,
+                err_msg=f"{name} ({matvec})",
+            )
+
+    def test_multi_step_trajectory(self):
+        from smokephysai_tpu.ops.pallas.fused_step3d import (
+            fused_multi_step3d_pallas,
+        )
+        from smokephysai_tpu.physics.solver3d import multi_step3d
+
+        s = self._state(seed=22)
+        final, traj = fused_multi_step3d_pallas(s, 3, num_cg_iters=6)
+        ref_final, ref_traj = multi_step3d(s, 3, num_cg_iters=6)
+        np.testing.assert_allclose(
+            np.asarray(traj), np.asarray(ref_traj), atol=1e-5, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(final.u), np.asarray(ref_final.u), atol=1e-5,
+            rtol=1e-5,
+        )
+
+    def test_fits_gate(self):
+        from smokephysai_tpu.ops.pallas.fused_step3d import fits_fused_step3d
+
+        assert fits_fused_step3d((128, 128, 128))
+        assert not fits_fused_step3d((256, 256, 256))
+        assert not fits_fused_step3d((16, 16, 100))  # lane-misaligned
