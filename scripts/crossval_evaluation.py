@@ -128,6 +128,7 @@ def main():
         model, variables, chaos_seed=config["tpu"].get("seed", 0)
     )
     ours = {}
+    print("[crossval] ours: consistency/recon", file=sys.stderr, flush=True)
     ev = RobustnessEvaluator()
     ours["physics_consistency"] = ev.evaluate_physics_consistency(
         predict, inputs_j, phys_targets_np
@@ -136,12 +137,15 @@ def main():
         predict, inputs_j, targets_j
     )
     tester = PerturbationTester()
+    print("[crossval] ours: gaussian", file=sys.stderr, flush=True)
     ours["gaussian_noise"] = tester.gaussian_noise_test(
         predict, inputs_j, key=jax.random.PRNGKey(0)
     )
+    print("[crossval] ours: PGD", file=sys.stderr, flush=True)
     ours["adversarial"] = tester.adversarial_test(predict, inputs_j)
 
     # ---- reference (torch) on the export ----
+    print("[crossval] torch: load", file=sys.stderr, flush=True)
     tmodel = load_torch_model(variables)
     theirs = {}
     tev = TorchRobustness(device="cpu")
@@ -154,7 +158,9 @@ def main():
     )
     ttester = TorchPerturbation(device="cpu")
     torch.manual_seed(0)
+    print("[crossval] torch: gaussian", file=sys.stderr, flush=True)
     theirs["gaussian_noise"] = ttester.gaussian_noise_test(tmodel, inputs_t)
+    print("[crossval] torch: PGD", file=sys.stderr, flush=True)
     theirs["adversarial"] = ttester.adversarial_test(tmodel, inputs_t)
 
     # ---- shared-scenario physics stability ----
@@ -165,6 +171,7 @@ def main():
         jax.random.PRNGKey(config["tpu"].get("seed", 0) + 3),
         args.num_physics_tests, grid,
     )
+    print("[crossval] scenarios", file=sys.stderr, flush=True)
     scen, _ = jax.vmap(
         lambda xy, inten, act: simulate_episode(
             xy, inten, act, grid_size=grid,
