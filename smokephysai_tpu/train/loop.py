@@ -174,12 +174,17 @@ def compute_losses(
     }
 
 
-def make_train_step(physics_cfg: Dict) -> Callable:
+def make_train_step(physics_cfg: Dict, ema_decay: float = 0.0) -> Callable:
     """Jitted, buffer-donated train step (params/opt-state buffers are
-    updated in place in HBM)."""
+    updated in place in HBM).
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(
+    With ema_decay > 0 (training.ema_decay; no reference analog — opt-in
+    quality lever) the returned step has the 4-arg signature
+    ``(state, ema_params, batch, rng) -> (state, ema_params, metrics)``
+    and maintains an exponential moving average of the params inside the
+    same XLA program (no extra dispatch). EMA lives outside TrainState so
+    every existing 3-arg caller is untouched."""
+    def _step_impl(
         state: TrainState, batch: Dict[str, Array], rng: Array
     ) -> Tuple[TrainState, Dict[str, Array]]:
         k_chaos, k_drop = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -206,7 +211,21 @@ def make_train_step(physics_cfg: Dict) -> Callable:
         )
         return new_state, metrics
 
-    return train_step
+    if ema_decay:
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step_ema(state, ema_params, batch, rng):
+            new_state, metrics = _step_impl(state, batch, rng)
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e + (1.0 - ema_decay) * (p - e),
+                ema_params,
+                new_state.params,
+            )
+            return new_state, new_ema, metrics
+
+        return train_step_ema
+
+    return functools.partial(jax.jit, donate_argnums=(0,))(_step_impl)
 
 
 def make_eval_step(physics_cfg: Dict) -> Callable:
@@ -294,8 +313,20 @@ def fit(
         best_val_loss = float(meta.get("val_loss", float("inf")))
         print_fn(f"Resumed from {resume_from} at epoch {start_epoch}")
 
-    tstep = make_train_step(config["physics"])
+    # Opt-in EMA of params (training.ema_decay, e.g. 0.999; default off).
+    # The EMA copy is what gets validated and checkpointed — resume then
+    # continues FROM the EMA weights (documented divergence; no reference
+    # analog, reference train.py has no EMA).
+    ema_decay = float(tc.get("ema_decay", 0.0))
+    tstep = make_train_step(config["physics"], ema_decay=ema_decay)
     estep = make_eval_step(config["physics"])
+    # init as a COPY — the step donates both state and ema, and aliasing
+    # the same buffers into two donated args is a runtime error
+    ema_params = (
+        jax.tree_util.tree_map(jnp.copy, state.params) if ema_decay else None
+    )
+    if ema_decay:
+        print_fn(f"EMA enabled (decay {ema_decay})")
 
     for epoch in range(start_epoch, tc["num_epochs"]):
         key, k_epoch, k_eval = jax.random.split(key, 3)
@@ -307,7 +338,12 @@ def fit(
         for batch_idx, batch in enumerate(
             train_ds.epoch_batches(k_epoch, batch_size, shuffle=True)
         ):
-            state, metrics = tstep(state, _shard_batch(batch), k_epoch)
+            if ema_decay:
+                state, ema_params, metrics = tstep(
+                    state, ema_params, _shard_batch(batch), k_epoch
+                )
+            else:
+                state, metrics = tstep(state, _shard_batch(batch), k_epoch)
             train_metrics.append(metrics)
             if writer is not None and batch_idx % log_every == 0:
                 batch_logs.append((epoch * steps_per_epoch + batch_idx, metrics))
@@ -321,8 +357,11 @@ def fit(
             writer.add_scalar("Train/Batch_Chaos_Loss", float(m["chaos_loss"]), gs)
 
         val_metrics = []
+        val_state = (
+            state.replace(params=ema_params) if ema_decay else state
+        )
         for batch in val_ds.epoch_batches(k_eval, batch_size, shuffle=False):
-            val_metrics.append(estep(state, _shard_batch(batch), k_eval))
+            val_metrics.append(estep(val_state, _shard_batch(batch), k_eval))
 
         def avg(ms, k):
             return float(np.mean([np.asarray(m[k]) for m in ms])) if ms else 0.0
@@ -347,9 +386,13 @@ def fit(
         state = state.replace(epoch=jnp.int32(epoch))
         if val_loss < best_val_loss:
             best_val_loss = val_loss
+            meta = {"epoch": epoch, "val_loss": val_loss, "config": config}
+            if ema_decay:
+                meta["ema_decay"] = ema_decay
             save_checkpoint(
-                exp_dir, state, {"epoch": epoch, "val_loss": val_loss,
-                                 "config": config}
+                exp_dir,
+                state.replace(params=ema_params) if ema_decay else state,
+                meta,
             )
 
-    return state
+    return state.replace(params=ema_params) if ema_decay else state

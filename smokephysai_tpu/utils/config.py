@@ -36,6 +36,9 @@ DEFAULTS: Dict[str, Any] = {
         "num_epochs": 100,
         "learning_rate": 0.001,
         "weight_decay": 0.01,
+        # opt-in EMA of params (no reference analog); 0 = off. When set
+        # (e.g. 0.999), validation/checkpointing use the EMA weights.
+        "ema_decay": 0.0,
     },
     "simulation": {
         "dt": 0.01,

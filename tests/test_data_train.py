@@ -195,6 +195,65 @@ class TestTraining:
         assert losses[-1] < losses[0]
         assert int(state.step) == 8
 
+    def test_ema_train_step(self, tiny_ds):
+        """ema_decay>0 returns the 4-arg step; the EMA tracks params with
+        the expected one-step update rule and stays between init and the
+        live params."""
+        state = create_train_state(
+            TINY_CONFIG, jax.random.PRNGKey(0), steps_per_epoch=3
+        )
+        decay = 0.9
+        tstep = make_train_step(TINY_CONFIG["physics"], ema_decay=decay)
+        batch = tiny_ds.sample_batch(jax.random.PRNGKey(5), 2)
+        p0 = jax.tree_util.tree_map(np.asarray, state.params)
+        ema = jax.tree_util.tree_map(jnp.copy, state.params)
+        state, ema, m = tstep(state, ema, batch, jax.random.PRNGKey(6))
+        # one step: ema == p0 + (1-decay)*(p1 - p0)
+        expect = jax.tree_util.tree_map(
+            lambda a, b: a + (1.0 - decay) * (np.asarray(b) - a),
+            p0,
+            state.params,
+        )
+        jax.tree_util.tree_map(
+            lambda e, x: np.testing.assert_allclose(
+                np.asarray(e), x, rtol=1e-6, atol=1e-7
+            ),
+            ema,
+            expect,
+        )
+        # several more steps: EMA stays finite and distinct from live params
+        for _ in range(3):
+            state, ema, m = tstep(state, ema, batch, jax.random.PRNGKey(6))
+        leaf_e = np.asarray(jax.tree_util.tree_leaves(ema)[0])
+        leaf_p = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+        assert np.all(np.isfinite(leaf_e))
+        assert not np.allclose(leaf_e, leaf_p)
+
+    def test_ema_fit_smoke(self, tiny_ds, tmp_path):
+        """fit() with training.ema_decay trains, validates and checkpoints
+        the EMA weights end-to-end."""
+        from smokephysai_tpu.train.loop import fit
+
+        config = {
+            **TINY_CONFIG,
+            "training": {**TINY_CONFIG["training"], "num_epochs": 2,
+                         "ema_decay": 0.9},
+        }
+        state = fit(config, tiny_ds, tiny_ds, str(tmp_path), writer=None)
+        restored, meta = restore_checkpoint(
+            str(tmp_path),
+            create_train_state(config, jax.random.PRNGKey(1), 3),
+        )
+        assert meta.get("ema_decay") == 0.9
+        # the checkpointed params are the EMA weights returned by fit()
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            restored.params,
+            state.params,
+        )
+
     def test_eval_step_runs(self, tiny_ds):
         state = create_train_state(
             TINY_CONFIG, jax.random.PRNGKey(0), steps_per_epoch=3
