@@ -259,8 +259,53 @@ def _enable_compile_cache():
         pass  # unsupported backend/jax version: compile as usual
 
 
+def _init_watchdog(timeout_s: int) -> None:
+    """Guarantee ONE JSON line even if the TPU tunnel is wedged.
+
+    A two-process collision can wedge the axon tunnel so that every
+    backend init hangs indefinitely (CLAUDE.md, 2026-08-17 postmortem).
+    Block here on jax.devices() under a watchdog: if init hasn't
+    completed within timeout_s, print an error JSON line and hard-exit
+    so the driver still records a bench artifact."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(
+                json.dumps(
+                    {
+                        "metric": "frame_inference_ms",
+                        "value": None,
+                        "unit": "ms",
+                        "vs_baseline": None,
+                        "extra": {
+                            "error": (
+                                f"TPU backend init exceeded {timeout_s}s "
+                                "(wedged tunnel; see CLAUDE.md postmortem)"
+                            )
+                        },
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
+    import jax
+
+    _mark(f"backend init (watchdog {timeout_s}s)")
+    jax.devices()
+    done.set()
+
+
 def main():
-    _enable_compile_cache()
+    import os
+
+    _enable_compile_cache()  # config must precede backend init
+    _init_watchdog(int(os.environ.get("BENCH_INIT_TIMEOUT_S", "900")))
     _mark("inference f32")
     pipelined_ms, p50_sync_ms = bench_inference()
     extra = {"p50_frame_inference_ms_percall": round(p50_sync_ms, 3)}
