@@ -75,11 +75,13 @@ def evaluate_model(predict, batches):
         # compile happens per distinct batch shape (e.g. the trailing
         # partial batch); keep compilation out of the timed region
         if inputs.shape not in seen_shapes:
-            jax.block_until_ready(predict(inputs)["reconstructed"])
+            float(jnp.sum(predict(inputs)["reconstructed"]))
             seen_shapes.add(inputs.shape)
         start = time.time()
         outputs = predict(inputs)
-        jax.block_until_ready(outputs["reconstructed"])
+        # scalar readback, not block_until_ready: the latter intermittently
+        # returns early through the axon TPU tunnel (CLAUDE.md timing trap)
+        float(jnp.sum(outputs["reconstructed"]))
         total_time += time.time() - start
 
         total_mse += float(jnp.mean((outputs["reconstructed"] - batch["target"]) ** 2))

@@ -57,6 +57,16 @@ def run_evaluation(
         t = config["data"]["sequence_length"] // 2
         seqs = np.asarray(ds3._sequences)  # [N, T, D, H, W]
         chaos = np.asarray(ds3._chaos)
+        # one 50x128^3 predict batch materialises ~27 GB of encoder
+        # activations (past v5e HBM): inference sections run through a
+        # chunked predictor; the PGD test chunks internally (grad can't
+        # flow through the chunk wrapper's host concatenation)
+        from smokephysai_tpu.train.serving import make_chunked_predictor
+
+        grad_chunk = max(1, (4 * 64**3) // int(np.prod(grid_size)) + 1)
+        raw_predict, predict = predict, make_chunked_predictor(
+            predict, grad_chunk
+        )
     else:
         ds = SyntheticSmokeDataset(
             num_samples=num_samples,
@@ -69,6 +79,7 @@ def run_evaluation(
         t = config["data"]["sequence_length"] // 2
         seqs = np.asarray(ds.data["sequences"])  # [N, T, H, W]
         chaos = np.asarray(ds.data["chaos"])  # [N, 3] lyap/fractal/entropy
+        raw_predict, grad_chunk = predict, None  # 2D fits in one batch
     # one mid-sequence frame per episode, next frame as target
     inputs = jnp.asarray(seqs[:, t][..., None])  # NHWC / NDHWC
     targets = jnp.asarray(seqs[:, t + 1][..., None])
@@ -92,9 +103,11 @@ def run_evaluation(
     report["gaussian_noise"] = tester.gaussian_noise_test(
         predict, inputs, key=jax.random.PRNGKey(config["tpu"].get("seed", 0))
     )
-    report["adversarial"] = tester.adversarial_test(predict, inputs)
+    report["adversarial"] = tester.adversarial_test(
+        raw_predict, inputs, chunk_size=grad_chunk
+    )
     report["physics_perturbation"] = tester.physics_perturbation_test(
-        predict,
+        raw_predict,
         grid_size=grid_size,
         num_tests=num_physics_tests,
         num_steps=config["data"]["sequence_length"],

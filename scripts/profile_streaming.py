@@ -103,8 +103,14 @@ def timed_fps(state, body, n_lo=10, n_hi=40):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--grid", type=int, default=1024)
-    ap.add_argument("--flash", action="store_true", default=True)
-    ap.add_argument("--fast_math", action="store_true", default=True)
+    ap.add_argument(
+        "--flash", action=argparse.BooleanOptionalAction, default=True,
+        help="token-major flash attention (--no-flash for einsum parity)",
+    )
+    ap.add_argument(
+        "--fast_math", action=argparse.BooleanOptionalAction, default=True,
+        help="bf16 residual + tanh GELU (--no-fast_math for parity path)",
+    )
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}", file=sys.stderr)

@@ -75,10 +75,34 @@ class PerturbationTester:
         test_data: Array,
         epsilon: float = 0.1,
         num_steps: int = 10,
+        chunk_size: int | None = None,
     ) -> Dict:
         """PGD on the input via jax.grad
         (reference perturbation_tests.py:52-94, incl. its sign-direction
-        quirk — see module docstring)."""
+        quirk — see module docstring).
+
+        `chunk_size` runs the attack per chunk of samples — needed for the
+        volumetric protocol, where grad through one 50x128^3 forward
+        exceeds HBM. Per-chunk PGD is exact, not an approximation: the loss
+        is a per-sample mean (samples never couple through each other's
+        data) and sign(grad) is invariant to the 1/N scale, so each
+        sample's delta trajectory matches the full-batch attack's — up to
+        the chaos draw, which is keyed on the batch shape (bit-identical
+        when chaos_strength=0; see serving.make_chunked_predictor).
+        Stability is re-weighted by chunk size; the global perturbation
+        norm is the root-sum-square of chunk norms."""
+        if chunk_size is not None and chunk_size < test_data.shape[0]:
+            n = test_data.shape[0]
+            stab_sum, sq_norm = 0.0, 0.0
+            for s in range(0, n, chunk_size):
+                blk = test_data[s : s + chunk_size]
+                r = self.adversarial_test(predict, blk, epsilon, num_steps)
+                stab_sum += r["adversarial_feature_stability"] * blk.shape[0]
+                sq_norm += r["adversarial_perturbation_norm"] ** 2
+            return {
+                "adversarial_feature_stability": stab_sum / n,
+                "adversarial_perturbation_norm": float(sq_norm**0.5),
+            }
 
         def recon_neg_mse(delta):
             adv = jnp.clip(test_data + delta, 0.0, 1.0)

@@ -171,10 +171,12 @@ class SmokePhysNet(nn.Module):
         (re-interpolated) positional embedding (smokephys_net.py:24-38,
         :87-107). Returns token features [B, 1024, hidden_dim]."""
         B = x.shape[0]
-        if self.fast_encoder and x.shape[1:3] != (self.input_dim, self.input_dim):
-            # fast-serving divergence: pool the frame to the working
+        if self.fast_encoder and max(x.shape[1:3]) > self.input_dim:
+            # fast-serving divergence: pool OVERSIZE frames to the working
             # resolution first (see class docstring); the parity path pools
-            # AFTER enc_conv2 instead
+            # AFTER enc_conv2 instead. Sub-input_dim frames keep the native
+            # resolution — upsampling them would 4x the conv cost for no
+            # benefit.
             x = adaptive_avg_pool2d(x, (self.input_dim, self.input_dim))
         # 1. conv encoder (smokephys_net.py:24-32)
         h = self.enc_conv1(x)

@@ -62,15 +62,11 @@ def _shift(f: Array, axis: int, off: int, fill: str = "zero") -> Array:
     n = f.shape[axis]
     if off > 0:  # bring plane i+off to i
         body = lax.slice_in_dim(f, off, n, axis=axis)
-        edge = (
-            lax.slice_in_dim(f, n - 1, n, axis=axis)
-            if fill == "edge"
-            else jnp.zeros_like(lax.slice_in_dim(f, 0, off, axis=axis))
-        )
-        parts = [body] + [edge] * (off if fill == "edge" else 1)
         if fill == "zero":
-            return jnp.concatenate([body, edge], axis=axis)
-        return jnp.concatenate(parts, axis=axis)
+            zeros = jnp.zeros_like(lax.slice_in_dim(f, 0, off, axis=axis))
+            return jnp.concatenate([body, zeros], axis=axis)
+        edge = lax.slice_in_dim(f, n - 1, n, axis=axis)
+        return jnp.concatenate([body] + [edge] * off, axis=axis)
     off = -off
     body = lax.slice_in_dim(f, 0, n - off, axis=axis)
     edge = (

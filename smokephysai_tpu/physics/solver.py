@@ -291,7 +291,7 @@ def step(
     num_jacobi_iters: int = 20,
     vorticity_eps: float = 0.0,
     use_pallas: bool = False,
-    max_disp: int = 2,
+    max_disp: int | None = None,
 ) -> SimState:
     """One solver step: buoyancy → diffusion → projection → advection →
     decay (reference navier_stokes.py:151-173, order preserved exactly).
@@ -303,25 +303,28 @@ def step(
     trace-time constant (config value) so the fused-path choice and the
     confinement branch compile away.
 
-    `max_disp` bounds the tent-shift advection displacement (cells/step);
-    it reaches the fused kernel too, so raising it keeps the Pallas and XLA
-    paths in agreement. `max_disp=0` selects the general gather path
-    (never fused).
+    `max_disp` bounds the tent-shift advection displacement (cells/step).
+    The default (None) means policy choice per path: 2 taps-wide on the
+    XLA path, 1 on the fused kernel — bit-identical whenever displacements
+    stay under 1 cell (measured buoyancy-driven sims peak ~6e-4) at a third
+    of the tap count. An explicit integer is honoured verbatim on BOTH
+    paths, so passing max_disp=2 forces the 25-tap fused kernel too.
+    `max_disp=0` selects the general gather path (never fused).
     """
-    if use_pallas and vorticity_eps == 0.0 and max_disp > 0:
+    if use_pallas and vorticity_eps == 0.0 and (
+        max_disp is None or max_disp > 0
+    ):
         from smokephysai_tpu.ops.pallas import fused_step as _pf
 
         if _pf.fits_fused_step(state.density.shape):
-            # At the default max_disp=2 the fused kernel runs its D=1 tap
-            # set: bit-identical for displacements < 1 cell (measured sims
-            # peak ~6e-4) at a third of the tap count. Any non-default
-            # request is honoured verbatim so both paths stay equal.
             u, v, p, d = _pf.fused_step_pallas(
                 state.u, state.v, state.p, state.density,
                 dt, viscosity, num_jacobi_iters,
-                max_disp=1 if max_disp == 2 else max_disp,
+                max_disp=1 if max_disp is None else max_disp,
             )
             return state.replace(u=u, v=v, p=p, density=d)
+    if max_disp is None:
+        max_disp = 2
 
     jacobi_fn = None
     diffuse_fn = diffuse
@@ -377,7 +380,7 @@ def multi_step(
     num_jacobi_iters: int = 20,
     vorticity_eps: float = 0.0,
     use_pallas: bool = False,
-    max_disp: int = 2,
+    max_disp: int | None = None,
 ) -> Tuple[SimState, Array]:
     """`lax.scan` over `num_steps` solver steps; returns the final state and
     the stacked density trajectory [T, H, W]. This is the fused time loop
@@ -386,15 +389,19 @@ def multi_step(
     With `use_pallas` (and no vorticity confinement) the ENTIRE time loop
     runs inside one VMEM-resident Pallas kernel when state + trajectory fit
     — the fields never touch HBM between steps (ops/pallas/fused_step.py).
+    `max_disp` follows `step`'s policy: None → 2 XLA / 1 fused; an explicit
+    integer is honoured verbatim on both paths.
     """
-    if use_pallas and vorticity_eps == 0.0 and max_disp > 0:
+    if use_pallas and vorticity_eps == 0.0 and (
+        max_disp is None or max_disp > 0
+    ):
         from smokephysai_tpu.ops.pallas import fused_step as _pf
 
         if _pf.fits_fused_step(state.density.shape, traj_steps=num_steps):
             (u, v, p, d), traj = _pf.fused_multi_step_pallas(
                 state.u, state.v, state.p, state.density,
                 num_steps, dt, viscosity, num_jacobi_iters,
-                max_disp=1 if max_disp == 2 else max_disp,
+                max_disp=1 if max_disp is None else max_disp,
             )
             return state.replace(u=u, v=v, p=p, density=d), traj
 

@@ -115,6 +115,51 @@ def make_predictor(
     return predict
 
 
+def make_chunked_predictor(
+    predict: Callable[[Array], Dict[str, Array]], chunk_size: int
+) -> Callable[[Array], Dict[str, Array]]:
+    """Wrap a jitted predictor to run the batch in fixed-size chunks and
+    concatenate the output dict on the host.
+
+    Needed for the volumetric (128^3) evaluation protocol: one 50-volume
+    predict batch materialises ~27 GB of encoder activations
+    (net3d.py enc_conv2), past a v5e's 16 GB HBM — so inference-only
+    report sections run chunk-at-a-time. Tail chunks are padded by
+    repeating the last sample (keeps `predict`'s jitted shape static) and
+    the padding is dropped from the outputs. Gradient-based tests (PGD)
+    must NOT use this wrapper — jax.grad cannot flow through the host
+    concatenation; PerturbationTester.adversarial_test chunks internally
+    instead.
+
+    Note on determinism: samples never couple through each other's data,
+    but the fixed-key chaos field is drawn at the BATCH shape, so chunked
+    results are a different (equally valid, still deterministic) draw than
+    one full-batch call; they are bit-identical when chaos_strength=0
+    (tests/test_eval.py::TestChunkedPredictor)."""
+    import numpy as np
+
+    def predict_chunked(x: Array) -> Dict[str, Array]:
+        n = x.shape[0]
+        if n <= chunk_size:
+            return predict(x)
+        outs = []
+        for s in range(0, n, chunk_size):
+            blk = x[s : s + chunk_size]
+            real = blk.shape[0]
+            if real < chunk_size:
+                blk = jnp.concatenate(
+                    [blk, jnp.repeat(blk[-1:], chunk_size - real, axis=0)], 0
+                )
+            o = predict(blk)
+            outs.append({k: np.asarray(v[:real]) for k, v in o.items()})
+        return {
+            k: jnp.asarray(np.concatenate([o[k] for o in outs], axis=0))
+            for k in outs[0]
+        }
+
+    return predict_chunked
+
+
 def make_pipelined_predictor(
     model: SmokePhysNet,
     variables: Dict,

@@ -408,6 +408,21 @@ class TestFastEncoder:
             np.asarray(ref["physics_features"]),
         )
 
+    def test_undersize_input_is_noop(self, tiny_model_and_vars):
+        """Frames BELOW input_dim must not trigger the pool-first path (the
+        old `!=` trigger avg-pool UPSAMPLED them, quadrupling the conv cost
+        and changing numerics): the flag is bit-exact vs the parity path."""
+        model, variables = tiny_model_and_vars
+        x = jax.random.uniform(jax.random.PRNGKey(15), (1, 16, 16, 1))
+        rngs = {"chaos": jax.random.PRNGKey(16)}
+        ref = model.apply(variables, x, train=False, rngs=rngs)
+        fast = model.clone(fast_encoder=True).apply(
+            variables, x, train=False, rngs=rngs
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fast["reconstructed"]), np.asarray(ref["reconstructed"])
+        )
+
     def test_oversize_input_contract(self, tiny_model_and_vars):
         """Oversize frames keep the full output contract (recon back at the
         input resolution) and stay close to the parity path on smooth

@@ -360,3 +360,27 @@ class TestFusedStep3D:
         assert fits_fused_step3d((128, 128, 128))
         assert not fits_fused_step3d((256, 256, 256))
         assert not fits_fused_step3d((16, 16, 100))  # lane-misaligned
+
+
+def test_explicit_max_disp_honoured_on_fused_path():
+    """An explicit max_disp is honoured VERBATIM by the fused kernel (the
+    old plumbing silently coerced 2 -> 1, so the Pallas and XLA paths
+    diverged exactly when the caller raised the bound to keep them equal).
+    Velocities here displace ~1.5 cells/step: D=2 tent advection is exact,
+    D=1 truncates nonzero taps."""
+    s = init_state((64, 64))
+    s = s.replace(
+        u=jnp.full_like(s.u, 150.0),
+        v=jnp.full_like(s.v, 150.0),
+        density=add_smoke_source(s.density, 32.0, 32.0, radius=8.0,
+                                 intensity=1.5),
+    )
+    ref = step(s, use_pallas=False, max_disp=2)
+    got = step(s, use_pallas=True, max_disp=2)
+    np.testing.assert_allclose(
+        np.asarray(got.density), np.asarray(ref.density), atol=1e-5
+    )
+    # sensitivity check: the default fused policy (D=1) DOES diverge at
+    # this displacement, so the equality above proves D=2 reached the kernel
+    got_d1 = step(s, use_pallas=True)
+    assert float(jnp.max(jnp.abs(got_d1.density - ref.density))) > 1e-4
