@@ -5,13 +5,17 @@ VMEM-resident Pallas program per step (VERDICT r2 directive #4; the stated
 prerequisite for beating XLA's well-fused CG chain after the standalone CG
 kernel measured on-par, ops/pallas/cg3d.py).
 
-Memory: a 128^3 f32 volume is 8.4 MB; the step's peak holds ~11 live
-volumes (state in/out, CG {r, d, Ad, div}, centred velocities, advection
-temporaries) ~= 92 MB — inside the v5e's 128 MB VMEM with the per-kernel
-limit raised via CompilerParams. The staggered u field's (d, h, w+1) shape
-lane-pads to 2x; every other buffer keeps the volume's aligned layout
-(the 2D kernel's hard-won rule: no padded copies, zero-filled concatenate
-taps only — ops/pallas/fused_step.py:125).
+Memory: a 128^3 f32 volume is 8.4 MB; the step's peak holds ~11-15 live
+volumes (state, CG {r, d, Ad, div}, centred velocities, advection
+temporaries) ~= 92-126 MB — held inside the v5e's 128 MB VMEM by three
+deliberate choices: (1) outputs ALIAS the input buffers
+(input_output_aliases — each field is read once at entry, written once at
+exit), (2) advection carries 3 displacement volumes instead of 6
+position+iota volumes (_advect_val3), (3) the per-kernel limit is raised
+via CompilerParams. The staggered u field's (d, h, w+1) shape lane-pads to
+2x; every other buffer keeps the volume's aligned layout (the 2D kernel's
+hard-won rule: no padded copies, zero-filled concatenate taps only —
+ops/pallas/fused_step.py:125).
 
 The CG matvec has two interchangeable forms (static `matvec`):
   * 'shift' — zero-shift concatenates (cg3d.py's formulation).
@@ -143,18 +147,26 @@ def _cg_val3(p, div, num_iters: int, neg_lap) -> Array:
     return p
 
 
-def _advect_val3(field, pz, py, px, zc, yc, xc, D: int) -> Array:
+def _advect_val3(field, tz, ty, tx, D: int) -> Array:
     """trilinear_shift_sample on VMEM values: (2D+1)^3 zero-shift taps,
-    identical loop order / accumulation to solver3d.py:137-150."""
+    identical loop order / accumulation to solver3d.py:137-150.
+
+    Takes backtrace DISPLACEMENTS t = clip(pos) - iota rather than the
+    absolute positions: |t| < 1 cell always, and the tap weight
+    max(0, 1-|t - dz|) equals the absolute form max(0, 1-|p - (c+dz)|)
+    bit-for-bit (both subtractions are exact: all operands sit on the
+    2^-17 f32 grid for grids <= 256 and the results are < D+1 in
+    magnitude). This keeps only 3 volumes live across the 4 advections
+    instead of 6 (positions + iotas) — VMEM peak matters here."""
     out = jnp.zeros_like(field)
     for dz in range(-D, D + 1):
         fz = _shift(field, 0, dz)
-        wz = jnp.maximum(0.0, 1.0 - jnp.abs(pz - (zc + dz)))
+        wz = jnp.maximum(0.0, 1.0 - jnp.abs(tz - dz))
         for dy in range(-D, D + 1):
             fzy = _shift(fz, 1, dy)
-            wzy = wz * jnp.maximum(0.0, 1.0 - jnp.abs(py - (yc + dy)))
+            wzy = wz * jnp.maximum(0.0, 1.0 - jnp.abs(ty - dy))
             for dx in range(-D, D + 1):
-                wx = jnp.maximum(0.0, 1.0 - jnp.abs(px - (xc + dx)))
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(tx - dx))
                 out = out + wzy * wx * _shift(fzy, 2, dx)
     return out
 
@@ -215,26 +227,34 @@ def _step_vals3(
     vc = 0.5 * (v[:, :-1, :] + v[:, 1:, :])
     wc = 0.5 * (w_vel[:-1] + w_vel[1:])
 
-    zc = lax.broadcasted_iota(jnp.int32, (d, h, w), 0).astype(density.dtype)
-    yc = lax.broadcasted_iota(jnp.int32, (d, h, w), 1).astype(density.dtype)
-    xc = lax.broadcasted_iota(jnp.int32, (d, h, w), 2).astype(density.dtype)
-
     def backtrace(ucf, vcf, wcf):
+        """Backtrace DISPLACEMENTS t = clip(c - dt*vel) - c; the iotas are
+        recomputed per call so they don't stay live across the whole
+        advection phase (see _advect_val3 on exactness)."""
+        zc = lax.broadcasted_iota(jnp.int32, (d, h, w), 0).astype(
+            density.dtype
+        )
+        yc = lax.broadcasted_iota(jnp.int32, (d, h, w), 1).astype(
+            density.dtype
+        )
+        xc = lax.broadcasted_iota(jnp.int32, (d, h, w), 2).astype(
+            density.dtype
+        )
         return (
-            jnp.clip(zc - dt * wcf, 0, d - 1),
-            jnp.clip(yc - dt * vcf, 0, h - 1),
-            jnp.clip(xc - dt * ucf, 0, w - 1),
+            jnp.clip(zc - dt * wcf, 0, d - 1) - zc,
+            jnp.clip(yc - dt * vcf, 0, h - 1) - yc,
+            jnp.clip(xc - dt * ucf, 0, w - 1) - xc,
         )
 
     D = max_disp
-    pz, py, px = backtrace(uc, vc, wc)
-    uc_a = _advect_val3(uc, pz, py, px, zc, yc, xc, D)
-    pz, py, px = backtrace(uc_a, vc, wc)
-    vc_a = _advect_val3(vc, pz, py, px, zc, yc, xc, D)
-    pz, py, px = backtrace(uc_a, vc_a, wc)
-    wc_a = _advect_val3(wc, pz, py, px, zc, yc, xc, D)
-    pz, py, px = backtrace(uc_a, vc_a, wc_a)
-    density = _advect_val3(density, pz, py, px, zc, yc, xc, D)
+    tz, ty, tx = backtrace(uc, vc, wc)
+    uc_a = _advect_val3(uc, tz, ty, tx, D)
+    tz, ty, tx = backtrace(uc_a, vc, wc)
+    vc_a = _advect_val3(vc, tz, ty, tx, D)
+    tz, ty, tx = backtrace(uc_a, vc_a, wc)
+    wc_a = _advect_val3(wc, tz, ty, tx, D)
+    tz, ty, tx = backtrace(uc_a, vc_a, wc_a)
+    density = _advect_val3(density, tz, ty, tx, D)
 
     # restagger centred velocities back to faces (interior average,
     # replicate at boundary faces — step3d's restagger)
@@ -319,6 +339,11 @@ def fused_step3d_pallas(
             vmem, vmem, vmem, vmem, vmem, vmem, vmem,
         ],
         out_specs=[vmem] * 5,
+        # each state field is read ONCE at kernel entry and written once at
+        # exit, so inputs can share buffers with outputs — saves five
+        # volumes (~50 MB at 128^3 incl. the lane-padded u) off the VMEM
+        # peak (inputs 3..7 = u,v,w,p,density -> outputs 0..4)
+        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3, 7: 4},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=use_interpret(),
     )(scal, _shift_matrix(d), _shift_matrix(w), u, v, w_vel, p, density)
