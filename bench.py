@@ -379,14 +379,20 @@ def main():
 
             return _j.jit(lambda st: _lax.fori_loop(0, n3, body, st))
 
+        # each matvec variant individually guarded: they stress different
+        # Mosaic paths (concatenate shifts vs MXU dot_generals), so a
+        # compile failure in one must not mask the other
         for mv in ("shift", "mxu"):
-            ff = _fused_loop(mv)
-            float(ff(s3).density.sum())  # compile + warm
-            t0 = time.perf_counter()
-            float(ff(s3).density.sum())
-            extra[f"sim3d_steps_per_sec_128cubed_fused_{mv}"] = round(
-                n3 / (time.perf_counter() - t0), 1
-            )
+            try:
+                ff = _fused_loop(mv)
+                float(ff(s3).density.sum())  # compile + warm
+                t0 = time.perf_counter()
+                float(ff(s3).density.sum())
+                extra[f"sim3d_steps_per_sec_128cubed_fused_{mv}"] = round(
+                    n3 / (time.perf_counter() - t0), 1
+                )
+            except Exception as e:  # pragma: no cover
+                extra[f"sim3d_fused_{mv}_error"] = str(e)[:200]
     except Exception as e:  # pragma: no cover
         extra["sim3d_error"] = str(e)[:200]
     try:
