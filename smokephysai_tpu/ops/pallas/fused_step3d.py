@@ -1,21 +1,21 @@
-"""Fused whole-step 3D solver kernel: the COMPLETE `solver3d.step3d`
-pipeline — buoyancy, 4x diffusion, divergence, the CG pressure solve,
-velocity correction, 4x tent advection, restagger, decay — as ONE
-VMEM-resident Pallas program per step (VERDICT r2 directive #4; the stated
+"""Fused 3D solver step: the COMPLETE `solver3d.step3d` pipeline —
+buoyancy, 4x diffusion, divergence, the CG pressure solve, velocity
+correction, 4x tent advection, restagger, decay — as SIX chained
+VMEM-resident Pallas kernels per step (VERDICT r2 directive #4; the stated
 prerequisite for beating XLA's well-fused CG chain after the standalone CG
-kernel measured on-par, ops/pallas/cg3d.py).
+kernel measured on-par, ops/pallas/cg3d.py). One monolithic kernel is
+unbuildable: see the staged-kernels note below for the measured Mosaic
+compile wall.
 
-Memory: a 128^3 f32 volume is 8.4 MB; the step's peak holds ~11-15 live
-volumes (state, CG {r, d, Ad, div}, centred velocities, advection
-temporaries) ~= 92-126 MB — held inside the v5e's 128 MB VMEM by three
-deliberate choices: (1) outputs ALIAS the input buffers
-(input_output_aliases — each field is read once at entry, written once at
-exit), (2) advection carries 3 displacement volumes instead of 6
-position+iota volumes (_advect_val3), (3) the per-kernel limit is raised
-via CompilerParams. The staggered u field's (d, h, w+1) shape lane-pads to
-2x; every other buffer keeps the volume's aligned layout (the 2D kernel's
-hard-won rule: no padded copies, zero-filled concatenate taps only —
-ops/pallas/fused_step.py:125).
+Memory: a 128^3 f32 volume is 8.4 MB; the busiest stage holds ~10 live
+volumes ~= 84 MB — held inside the v5e's 128 MB VMEM by three deliberate
+choices: (1) outputs ALIAS the input buffers (input_output_aliases — each
+field is read once at entry, written once at exit), (2) advection carries
+3 displacement volumes instead of 6 position+iota volumes (_advect_val3),
+(3) the per-kernel limit is raised via CompilerParams. The staggered u
+field's (d, h, w+1) shape lane-pads to 2x; every other buffer keeps the
+volume's aligned layout (the 2D kernel's hard-won rule: no padded copies,
+zero-filled concatenate taps only — ops/pallas/fused_step.py:125).
 
 The CG matvec has two interchangeable forms (static `matvec`):
   * 'shift' — zero-shift concatenates (cg3d.py's formulation).
@@ -58,29 +58,63 @@ def fits_fused_step3d(grid_size: Tuple[int, int, int]) -> bool:
 
 
 # ------------------------------------------------------------- primitives
+#
+# Mosaic layout discipline (hard-won on the real v5e, r3): values produced
+# by SUFFIX slices (f[:, 1:], f[:, :, 1:]) carry non-zero vpad layout
+# offsets, and `tpu.concatenate` raises "Not implemented: result/input
+# offset mismatch on non-concat dimension" the moment two operands'
+# offsets disagree on any other dim. Every primitive here therefore keeps
+# values at the canonical {0,0} offset: shifts are `pltpu.roll` (fresh
+# canonical layout) + iota masks, staggered diffs/averages are roll +
+# PREFIX slice (offset-preserving), and the only concatenates left join
+# canonical operands.
+
+
+def _roll(f: Array, shift: int, axis: int) -> Array:
+    """Circular shift, out[i] = f[(i - shift) % n]; pltpu.roll compiled
+    (wants a non-negative static shift), jnp.roll interpreted."""
+    n = f.shape[axis]
+    shift %= n
+    if shift == 0:
+        return f
+    if use_interpret():
+        return jnp.roll(f, shift, axis)
+    return pltpu.roll(f, shift, axis)
+
+
+def _iota(shape, axis: int) -> Array:
+    return lax.broadcasted_iota(jnp.int32, shape, axis)
+
+
 def _shift(f: Array, axis: int, off: int, fill: str = "zero") -> Array:
-    """f shifted by `off` along `axis`, vacated planes zero- or
-    edge-filled, output at f's own (aligned) shape."""
+    """f shifted by `off` along `axis` (out[i] = f[i + off] where valid),
+    vacated planes zero- or edge-filled, output at f's own shape."""
     if off == 0:
         return f
     n = f.shape[axis]
-    if off > 0:  # bring plane i+off to i
-        body = lax.slice_in_dim(f, off, n, axis=axis)
-        if fill == "zero":
-            zeros = jnp.zeros_like(lax.slice_in_dim(f, 0, off, axis=axis))
-            return jnp.concatenate([body, zeros], axis=axis)
-        edge = lax.slice_in_dim(f, n - 1, n, axis=axis)
-        return jnp.concatenate([body] + [edge] * off, axis=axis)
-    off = -off
-    body = lax.slice_in_dim(f, 0, n - off, axis=axis)
-    edge = (
-        lax.slice_in_dim(f, 0, 1, axis=axis)
-        if fill == "edge"
-        else jnp.zeros_like(lax.slice_in_dim(f, 0, off, axis=axis))
-    )
+    r = _roll(f, -off, axis)  # r[i] = f[(i + off) % n]
+    idx = _iota(f.shape, axis)
     if fill == "zero":
-        return jnp.concatenate([edge, body], axis=axis)
-    return jnp.concatenate([edge] * off + [body], axis=axis)
+        valid = idx < n - off if off > 0 else idx >= -off
+        return jnp.where(valid, r, 0.0)
+    # edge fill == index clamp; at the single invalid plane f already
+    # holds its own edge value (diffusion only ever uses |off| == 1)
+    assert abs(off) == 1, "edge fill supports |off| == 1"
+    return jnp.where(idx < n - 1 if off > 0 else idx >= 1, r, f)
+
+
+def _diff_down(f: Array, axis: int) -> Array:
+    """t[i] = f[i+1] - f[i], n-1 planes (roll + prefix slice only)."""
+    n = f.shape[axis]
+    t = _roll(f, -1, axis) - f
+    return lax.slice_in_dim(t, 0, n - 1, axis=axis)
+
+
+def _avg_down(f: Array, axis: int) -> Array:
+    """t[i] = (f[i] + f[i+1]) / 2, n-1 planes (face -> centre)."""
+    n = f.shape[axis]
+    t = 0.5 * (f + _roll(f, -1, axis))
+    return lax.slice_in_dim(t, 0, n - 1, axis=axis)
 
 
 def _diffuse_val3(f: Array, coef) -> Array:
@@ -147,6 +181,19 @@ def _cg_val3(p, div, num_iters: int, neg_lap) -> Array:
     return p
 
 
+def _shift_dyn(f: Array, axis: int, off) -> Array:
+    """_shift with a TRACED offset (out[i] = f[i+off] where 0 <= i+off < n,
+    else 0): pltpu.roll takes a dynamic shift (tpu.dynamic_rotate), so tap
+    loops can stay rolled-up loops instead of unrolled graphs."""
+    n = f.shape[axis]
+    shift = (-off) % n  # non-negative; jnp mod sign follows the divisor
+    r = pltpu.roll(f, shift, axis) if not use_interpret() else jnp.roll(
+        f, shift, axis
+    )
+    idx = _iota(f.shape, axis)
+    return jnp.where((idx >= -off) & (idx < n - off), r, 0.0)
+
+
 def _advect_val3(field, tz, ty, tx, D: int) -> Array:
     """trilinear_shift_sample on VMEM values: (2D+1)^3 zero-shift taps,
     identical loop order / accumulation to solver3d.py:137-150.
@@ -157,142 +204,169 @@ def _advect_val3(field, tz, ty, tx, D: int) -> Array:
     bit-for-bit (both subtractions are exact: all operands sit on the
     2^-17 f32 grid for grids <= 256 and the results are < D+1 in
     magnitude). This keeps only 3 volumes live across the 4 advections
-    instead of 6 (positions + iotas) — VMEM peak matters here."""
-    out = jnp.zeros_like(field)
-    for dz in range(-D, D + 1):
-        fz = _shift(field, 0, dz)
-        wz = jnp.maximum(0.0, 1.0 - jnp.abs(tz - dz))
-        for dy in range(-D, D + 1):
-            fzy = _shift(fz, 1, dy)
-            wzy = wz * jnp.maximum(0.0, 1.0 - jnp.abs(ty - dy))
-            for dx in range(-D, D + 1):
-                wx = jnp.maximum(0.0, 1.0 - jnp.abs(tx - dx))
-                out = out + wzy * wx * _shift(fzy, 2, dx)
-    return out
+    instead of 6 (positions + iotas) — VMEM peak matters here.
+
+    The taps are nested fori_loops with DYNAMIC rolls, not an unrolled
+    graph: Mosaic's compile cost scales superlinearly in whole-volume op
+    count and the 27-tap unrolled body kills the compiler outright at
+    128^3 (measured r3: 3 taps 3.7 s, 9 taps 11.7 s, 27 taps crashes the
+    compile helper). The FMA accumulation order is unchanged (dz, dy, dx
+    ascending), so this is bit-identical to the unrolled form."""
+    k = 2 * D + 1
+
+    def tap_x(i, carry):
+        acc, fzy, wzy = carry
+        d = i - D
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(tx - d))
+        acc = acc + wzy * wx * _shift_dyn(fzy, 2, d)
+        return acc, fzy, wzy
+
+    def tap_y(i, carry):
+        acc, fz, wz = carry
+        d = i - D
+        fzy = _shift_dyn(fz, 1, d)
+        wzy = wz * jnp.maximum(0.0, 1.0 - jnp.abs(ty - d))
+        acc, _, _ = lax.fori_loop(0, k, tap_x, (acc, fzy, wzy))
+        return acc, fz, wz
+
+    def tap_z(i, acc):
+        d = i - D
+        fz = _shift_dyn(field, 0, d)
+        wz = jnp.maximum(0.0, 1.0 - jnp.abs(tz - d))
+        acc, _, _ = lax.fori_loop(0, k, tap_y, (acc, fz, wz))
+        return acc
+
+    return lax.fori_loop(0, k, tap_z, jnp.zeros_like(field))
 
 
-# ------------------------------------------------------------- step body
-def _step_vals3(
-    u, v, w_vel, p, density,
-    dt, viscosity, sz, sx,
-    *, buoyancy: float, num_cg_iters: int, max_disp: int, matvec: str,
-):
-    d, h, w = density.shape
+# --------------------------------------------------------- staged kernels
+#
+# The step is SIX VMEM-resident kernels, not one. The single whole-step
+# kernel is unbuildable on the real v5e toolchain (r3 measurement series):
+# Mosaic compile wall-time grows ~1 s per whole-volume vector op at 128^3
+# and the compile helper hard-dies somewhere past ~2 minutes — a 40-op
+# linear chain compiles in 57 s, the 30-iteration CG loop in ~90 s, but
+# buoyancy+diffusion+CG+project (142 s) and the 4-advection phase (188 s)
+# both crash it, as does any full-step body. Each stage below compiles in
+# 15-90 s. The cost of the split is one HBM round-trip of the live fields
+# between stages (~260 MB/step, ~0.35 ms at HBM speed) — still ~8x less
+# traffic than the XLA path's ~2 GB/step op-by-op chain, and every stage's
+# interior stays in VMEM.
 
-    # 1. buoyancy on vertical faces (step3d: w[:-1] += dt*b*density)
-    w_vel = jnp.concatenate(
-        [w_vel[:-1] + dt * buoyancy * density, w_vel[-1:]], axis=0
-    )
 
-    # 2. diffusion
+def _pad1(a: Array, axis: int) -> Array:
+    """Append one zero plane (canonical-operand concat)."""
+    z = jnp.zeros_like(lax.slice_in_dim(a, 0, 1, axis=axis))
+    return jnp.concatenate([a, z], axis=axis)
+
+
+def _k_diffuse(scal_ref, u_ref, v_ref, w_ref, d_ref,
+               u_out, v_out, w_out, d_out, div_out, *, buoyancy):
+    """Stage 1: buoyancy on vertical faces, 4x diffusion, divergence/dt."""
+    dt, viscosity = scal_ref[0, 0], scal_ref[0, 1]
+    u, v, w_vel, density = u_ref[:], v_ref[:], w_ref[:], d_ref[:]
+    # buoyancy (step3d: w[:-1] += dt*b*density); top face gets +0 via pad
+    w_vel = w_vel + dt * buoyancy * _pad1(density, 0)
     u = _diffuse_val3(u, dt * viscosity)
     v = _diffuse_val3(v, dt * viscosity)
     w_vel = _diffuse_val3(w_vel, dt * viscosity)
     density = _diffuse_val3(density, dt * viscosity * 0.1)
-
-    # 3. CG pressure projection
-    div = (
-        u[:, :, 1:] - u[:, :, :-1]
-        + v[:, 1:, :] - v[:, :-1, :]
-        + w_vel[1:] - w_vel[:-1]
-    ) / dt
-    neg_lap = (
-        (lambda x: _neg_lap_mxu(x, sz, sx))
-        if matvec == "mxu"
-        else _neg_lap_shift
-    )
-    p = _cg_val3(p, div, num_cg_iters, neg_lap)
-    u = jnp.concatenate(
-        [
-            u[:, :, :1],
-            u[:, :, 1:-1] - dt * (p[:, :, 1:] - p[:, :, :-1]),
-            u[:, :, -1:],
-        ],
-        axis=2,
-    )
-    v = jnp.concatenate(
-        [
-            v[:, :1, :],
-            v[:, 1:-1, :] - dt * (p[:, 1:, :] - p[:, :-1, :]),
-            v[:, -1:, :],
-        ],
-        axis=1,
-    )
-    w_vel = jnp.concatenate(
-        [w_vel[:1], w_vel[1:-1] - dt * (p[1:] - p[:-1]), w_vel[-1:]], axis=0
-    )
-
-    # 4. advection (centred velocities, sequential update order)
-    uc = 0.5 * (u[:, :, :-1] + u[:, :, 1:])
-    vc = 0.5 * (v[:, :-1, :] + v[:, 1:, :])
-    wc = 0.5 * (w_vel[:-1] + w_vel[1:])
-
-    def backtrace(ucf, vcf, wcf):
-        """Backtrace DISPLACEMENTS t = clip(c - dt*vel) - c; the iotas are
-        recomputed per call so they don't stay live across the whole
-        advection phase (see _advect_val3 on exactness)."""
-        zc = lax.broadcasted_iota(jnp.int32, (d, h, w), 0).astype(
-            density.dtype
-        )
-        yc = lax.broadcasted_iota(jnp.int32, (d, h, w), 1).astype(
-            density.dtype
-        )
-        xc = lax.broadcasted_iota(jnp.int32, (d, h, w), 2).astype(
-            density.dtype
-        )
-        return (
-            jnp.clip(zc - dt * wcf, 0, d - 1) - zc,
-            jnp.clip(yc - dt * vcf, 0, h - 1) - yc,
-            jnp.clip(xc - dt * ucf, 0, w - 1) - xc,
-        )
-
-    D = max_disp
-    tz, ty, tx = backtrace(uc, vc, wc)
-    uc_a = _advect_val3(uc, tz, ty, tx, D)
-    tz, ty, tx = backtrace(uc_a, vc, wc)
-    vc_a = _advect_val3(vc, tz, ty, tx, D)
-    tz, ty, tx = backtrace(uc_a, vc_a, wc)
-    wc_a = _advect_val3(wc, tz, ty, tx, D)
-    tz, ty, tx = backtrace(uc_a, vc_a, wc_a)
-    density = _advect_val3(density, tz, ty, tx, D)
-
-    # restagger centred velocities back to faces (interior average,
-    # replicate at boundary faces — step3d's restagger)
-    def restagger(c, axis):
-        n = c.shape[axis]
-        lo = lax.slice_in_dim(c, 0, 1, axis=axis)
-        hi = lax.slice_in_dim(c, n - 1, n, axis=axis)
-        mids = 0.5 * (
-            lax.slice_in_dim(c, 0, n - 1, axis=axis)
-            + lax.slice_in_dim(c, 1, n, axis=axis)
-        )
-        return jnp.concatenate([lo, mids, hi], axis=axis)
-
-    u = restagger(uc_a, 2)
-    v = restagger(vc_a, 1)
-    w_vel = restagger(wc_a, 0)
-
-    # 5. decay
-    return u, v, w_vel, p, density * 0.995
-
-
-def _fused_step3d_kernel(
-    scal_ref, sz_ref, sx_ref, u_ref, v_ref, w_ref, p_ref, d_ref,
-    u_out, v_out, w_out, p_out, d_out,
-    *, buoyancy, num_cg_iters, max_disp, matvec,
-):
-    dt, viscosity = scal_ref[0, 0], scal_ref[0, 1]
-    u, v, w_vel, p, density = _step_vals3(
-        u_ref[:], v_ref[:], w_ref[:], p_ref[:], d_ref[:],
-        dt, viscosity, sz_ref[:], sx_ref[:],
-        buoyancy=buoyancy, num_cg_iters=num_cg_iters, max_disp=max_disp,
-        matvec=matvec,
-    )
     u_out[:] = u
     v_out[:] = v
     w_out[:] = w_vel
-    p_out[:] = p
     d_out[:] = density
+    div_out[:] = (
+        _diff_down(u, 2) + _diff_down(v, 1) + _diff_down(w_vel, 0)
+    ) / dt
+
+
+def _k_cg(p_ref, div_ref, sz_ref, sx_ref, p_out,
+          *, num_cg_iters, matvec):
+    """Stage 2: warm-started CG pressure solve (solver3d.cg_pressure)."""
+    neg_lap = (
+        (lambda x: _neg_lap_mxu(x, sz_ref[:], sx_ref[:]))
+        if matvec == "mxu"
+        else _neg_lap_shift
+    )
+    p_out[:] = _cg_val3(p_ref[:], div_ref[:], num_cg_iters, neg_lap)
+
+
+def _k_center(scal_ref, u_ref, v_ref, w_ref, p_ref,
+              uc_out, vc_out, wc_out):
+    """Stage 3: velocity correction (interior faces) + face -> centre."""
+    dt = scal_ref[0, 0]
+    p = p_ref[:]
+
+    def project(vel, axis):
+        # vel[i] -= dt * (p[i] - p[i-1]) on interior faces 1..n-2;
+        # boundary faces unchanged (step3d's velocity correction)
+        n = vel.shape[axis]
+        g = p - _roll(p, 1, axis)  # g[i] = p[i] - p[i-1], valid i >= 1
+        idx = _iota(vel.shape, axis)
+        return jnp.where(
+            (idx >= 1) & (idx <= n - 2), vel - dt * _pad1(g, axis), vel
+        )
+
+    uc_out[:] = _avg_down(project(u_ref[:], 2), 2)
+    vc_out[:] = _avg_down(project(v_ref[:], 1), 1)
+    wc_out[:] = _avg_down(project(w_ref[:], 0), 0)
+
+
+def _backtrace_vals(ucf, vcf, wcf, dt, max_disp: int):
+    """Backtrace DISPLACEMENTS t = clip(c - dt*vel) - c (exactness notes
+    in _advect_val3); iotas are recomputed per call to bound liveness."""
+    d, h, w = ucf.shape
+    zc = lax.broadcasted_iota(jnp.int32, (d, h, w), 0).astype(ucf.dtype)
+    yc = lax.broadcasted_iota(jnp.int32, (d, h, w), 1).astype(ucf.dtype)
+    xc = lax.broadcasted_iota(jnp.int32, (d, h, w), 2).astype(ucf.dtype)
+    return (
+        jnp.clip(zc - dt * wcf, 0, d - 1) - zc,
+        jnp.clip(yc - dt * vcf, 0, h - 1) - yc,
+        jnp.clip(xc - dt * ucf, 0, w - 1) - xc,
+    )
+
+
+def _k_advect_uv(scal_ref, uc_ref, vc_ref, wc_ref, uc_out, vc_out,
+                 *, max_disp):
+    """Stage 4: advect centred u then v (sequential update order)."""
+    dt = scal_ref[0, 0]
+    uc, vc, wc = uc_ref[:], vc_ref[:], wc_ref[:]
+    tz, ty, tx = _backtrace_vals(uc, vc, wc, dt, max_disp)
+    uc_a = _advect_val3(uc, tz, ty, tx, max_disp)
+    tz, ty, tx = _backtrace_vals(uc_a, vc, wc, dt, max_disp)
+    uc_out[:] = uc_a
+    vc_out[:] = _advect_val3(vc, tz, ty, tx, max_disp)
+
+
+def _k_advect_wd(scal_ref, uca_ref, vca_ref, wc_ref, d_ref,
+                 wc_out, d_out, *, max_disp):
+    """Stage 5: advect centred w then density, then density decay."""
+    dt = scal_ref[0, 0]
+    uc_a, vc_a, wc = uca_ref[:], vca_ref[:], wc_ref[:]
+    tz, ty, tx = _backtrace_vals(uc_a, vc_a, wc, dt, max_disp)
+    wc_a = _advect_val3(wc, tz, ty, tx, max_disp)
+    tz, ty, tx = _backtrace_vals(uc_a, vc_a, wc_a, dt, max_disp)
+    wc_out[:] = wc_a
+    d_out[:] = _advect_val3(d_ref[:], tz, ty, tx, max_disp) * 0.995
+
+
+def _k_restagger(uca_ref, vca_ref, wca_ref, u_out, v_out, w_out):
+    """Stage 6: centred velocities back to faces (interior average,
+    replicated boundary faces — step3d's restagger). All concat operands
+    are canonical: `up` comes from a roll, `last` from a prefix slice."""
+
+    def restagger(c, axis):
+        up = _roll(c, 1, axis)  # up[i] = c[i-1]
+        mids = 0.5 * (c + up)  # valid for i >= 1
+        last = lax.slice_in_dim(up, 0, 1, axis=axis)  # c[n-1]
+        out = jnp.concatenate([mids, last], axis=axis)  # n+1 planes
+        cpad = jnp.concatenate([c, last], axis=axis)
+        idx = _iota(out.shape, axis)
+        return jnp.where(idx == 0, cpad, out)
+
+    u_out[:] = restagger(uca_ref[:], 2)
+    v_out[:] = restagger(vca_ref[:], 1)
+    w_out[:] = restagger(wca_ref[:], 0)
 
 
 def _shift_matrix(n: int) -> jnp.ndarray:
@@ -304,6 +378,25 @@ def _shift_matrix(n: int) -> jnp.ndarray:
     )
 
 
+def _call(kernel, out_shapes, aliases, *args, **static):
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(a.shape, memory_space=pltpu.SMEM)
+        if a.ndim == 2 and a.shape[0] == 1
+        else vmem
+        for a in args
+    ]
+    return pl.pallas_call(
+        functools.partial(kernel, **static) if static else kernel,
+        out_shape=[jax.ShapeDtypeStruct(s, jnp.float32) for s in out_shapes],
+        in_specs=in_specs,
+        out_specs=[vmem] * len(out_shapes),
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=use_interpret(),
+    )(*args)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("buoyancy", "num_cg_iters", "max_disp", "matvec"),
@@ -313,51 +406,59 @@ def fused_step3d_pallas(
     dt=0.01, viscosity=0.001, buoyancy: float = 0.1,
     num_cg_iters: int = 30, max_disp: int = 1, matvec: str = "shift",
 ) -> Tuple[Array, Array, Array, Array, Array]:
-    """One whole `step3d` in a single VMEM-resident kernel: one HBM read
-    and one write of the five fields per step (the XLA path round-trips
-    every field through HBM ~10 times per step, ~2 GB at 128^3)."""
+    """One whole `step3d` as six chained VMEM-resident kernels (see the
+    staged-kernels note above for why not one). Numerics are
+    element-for-element `step3d` (solver3d.py:214-283): identical op and
+    accumulation order, only the HBM<->VMEM schedule differs."""
     d, h, w = density.shape
     scal = jnp.stack(
         [jnp.asarray(dt, jnp.float32), jnp.asarray(viscosity, jnp.float32)]
     ).reshape(1, 2)
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(
-            _fused_step3d_kernel,
-            buoyancy=buoyancy, num_cg_iters=num_cg_iters,
-            max_disp=max_disp, matvec=matvec,
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct(u.shape, u.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-            jax.ShapeDtypeStruct(w_vel.shape, w_vel.dtype),
-            jax.ShapeDtypeStruct(p.shape, p.dtype),
-            jax.ShapeDtypeStruct(density.shape, density.dtype),
-        ],
-        in_specs=[
-            pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
-            vmem, vmem, vmem, vmem, vmem, vmem, vmem,
-        ],
-        out_specs=[vmem] * 5,
-        # each state field is read ONCE at kernel entry and written once at
-        # exit, so inputs can share buffers with outputs — saves five
-        # volumes (~50 MB at 128^3 incl. the lane-padded u) off the VMEM
-        # peak (inputs 3..7 = u,v,w,p,density -> outputs 0..4)
-        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3, 7: 4},
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=use_interpret(),
-    )(scal, _shift_matrix(d), _shift_matrix(w), u, v, w_vel, p, density)
+    vol = (d, h, w)
+    # 1. buoyancy + diffusion + divergence (fields alias their outputs)
+    u, v, w_vel, density, div = _call(
+        _k_diffuse,
+        [u.shape, v.shape, w_vel.shape, vol, vol],
+        {1: 0, 2: 1, 3: 2, 4: 3},
+        scal, u, v, w_vel, density,
+        buoyancy=buoyancy,
+    )
+    # 2. CG pressure solve (p aliases its output)
+    (p,) = _call(
+        _k_cg, [vol], {0: 0},
+        p, div, _shift_matrix(d), _shift_matrix(w),
+        num_cg_iters=num_cg_iters, matvec=matvec,
+    )
+    # 3. velocity correction + face -> centre
+    uc, vc, wc = _call(
+        _k_center, [vol, vol, vol], {}, scal, u, v, w_vel, p
+    )
+    # 4./5. sequential tent advection (u, v then w, density + decay)
+    uc, vc = _call(
+        _k_advect_uv, [vol, vol], {1: 0, 2: 1}, scal, uc, vc, wc,
+        max_disp=max_disp,
+    )
+    wc, density = _call(
+        _k_advect_wd, [vol, vol], {3: 0, 4: 1}, scal, uc, vc, wc, density,
+        max_disp=max_disp,
+    )
+    # 6. centre -> faces
+    u, v, w_vel = _call(
+        _k_restagger, [u.shape, v.shape, w_vel.shape], {}, uc, vc, wc
+    )
+    return u, v, w_vel, p, density
 
 
 def fused_multi_step3d_pallas(
     state, num_steps: int, dt=0.01, viscosity=0.001,
     num_cg_iters: int = 30, max_disp: int = 1, matvec: str = "shift",
 ):
-    """Jitted scan over fused whole-step kernels; returns (final state,
-    density trajectory). Inter-step HBM traffic is one state round-trip
-    (~88 MB at 128^3, ~0.1 ms) — the intra-step fusion is where the XLA
-    path's ~2 GB/step goes away, so the time loop stays a scan (which also
-    lets the trajectory stream to HBM for free)."""
+    """Jitted scan over fused step-stage kernels; returns (final state,
+    density trajectory). Inter-stage HBM traffic is a few state
+    round-trips (~260 MB/step at 128^3, ~0.35 ms) — the intra-stage
+    fusion is where the XLA path's ~2 GB/step goes away, so the time loop
+    stays a scan (which also lets the trajectory stream to HBM for
+    free)."""
     from smokephysai_tpu.physics.solver3d import SimState3D
 
     @functools.partial(jax.jit, static_argnames=("n",))
