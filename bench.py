@@ -119,15 +119,19 @@ def bench_sim_compute(grid=256, use_pallas=False):
         s = f(state)
         float(s.density.sum())
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             s = f(state)
             float(s.density.sum())
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t200, t1200 = run(200), run(1200)
-    return 1000.0 / (t1200 - t200)
+    # span must dwarf the tunnel's ms-scale latency variance: a 1000-step
+    # span at the fused kernel's ~13 us/step is ~13 ms — same order as the
+    # per-call jitter, which once yielded a nonsense 2.8M steps/s reading.
+    # 5000 steps puts the signal ~10x above the noise.
+    t_short, t_long = run(200), run(5200)
+    return 5000.0 / (t_long - t_short)
 
 
 def bench_streaming(

@@ -32,6 +32,20 @@ INTENSITY_RANGE = (0.5, 2.0)  # reference data_loader.py:56
 FRAME_RANGE = (5, -5)  # reference data_loader.py:108 randint(5, T-5)
 
 
+def _check_sequence_length(sequence_length: int) -> None:
+    """The frame-sampling window [5, T-5) is empty for T <= 10. The
+    reference fails loudly there (np.random.randint raises); jax randint
+    does not, and the out-of-range frame+1 index would NaN-fill the target
+    via take_along_axis — so fail loudly ourselves."""
+    lo, hi = FRAME_RANGE[0], sequence_length + FRAME_RANGE[1]
+    if hi <= lo:
+        raise ValueError(
+            f"sequence_length={sequence_length} leaves no valid input "
+            f"frame in [{lo}, {hi}): need sequence_length > "
+            f"{lo - FRAME_RANGE[1]} (reference data_loader.py:108)"
+        )
+
+
 def sample_source_params(
     key: Array, num_samples: int, grid_size: Tuple[int, int]
 ) -> Dict[str, Array]:
@@ -150,6 +164,7 @@ class SyntheticSmokeDataset:
         self.num_samples = num_samples
         self.grid_size = tuple(grid_size)
         self.sequence_length = sequence_length
+        _check_sequence_length(sequence_length)
 
         if cache_path and os.path.exists(cache_path):
             with np.load(cache_path) as f:

@@ -11,7 +11,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from smokephysai_tpu.physics.simulator3d import simulate_episode3d
-from .synthetic import FRAME_RANGE, INTENSITY_RANGE, MAX_SOURCES, SOURCE_MARGIN
+from .synthetic import (
+    FRAME_RANGE,
+    INTENSITY_RANGE,
+    MAX_SOURCES,
+    SOURCE_MARGIN,
+    _check_sequence_length,
+)
 
 Array = jnp.ndarray
 
@@ -61,6 +67,7 @@ class SyntheticSmokeDataset3D:
     ):
         self.grid_size = tuple(grid_size)
         self.sequence_length = sequence_length
+        _check_sequence_length(sequence_length)
 
         if cache_path and os.path.exists(cache_path):
             with np.load(cache_path) as f:

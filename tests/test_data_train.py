@@ -72,6 +72,23 @@ class TestDataset:
         assert batch["chaos_features"].shape == (4, 3)
         assert batch["sequence"].shape == (4, 20, 64, 64)
 
+    def test_short_sequence_rejected(self):
+        """T <= 10 leaves randint(5, T-5) empty; the reference raises there
+        and jax's NaN-fill out-of-bounds gather must not be reached
+        silently (it poisoned benchmark targets at T=6)."""
+        import pytest
+
+        from smokephysai_tpu.data.synthetic3d import SyntheticSmokeDataset3D
+
+        with pytest.raises(ValueError, match="sequence_length"):
+            SyntheticSmokeDataset(
+                num_samples=1, grid_size=(16, 16), sequence_length=10
+            )
+        with pytest.raises(ValueError, match="sequence_length"):
+            SyntheticSmokeDataset3D(
+                num_samples=1, grid_size=(8, 8, 8), sequence_length=6
+            )
+
     def test_target_is_next_frame(self, tiny_ds):
         idx = jnp.array([0, 1])
         frames = jnp.array([5, 7])
@@ -103,11 +120,11 @@ class TestDataset:
         from smokephysai_tpu.train.loop import compute_losses
 
         dev = SyntheticSmokeDataset(
-            num_samples=4, grid_size=(32, 32), sequence_length=10, seed=5
+            num_samples=4, grid_size=(32, 32), sequence_length=12, seed=5
         )
         monkeypatch.setattr(SyntheticSmokeDataset, "DEVICE_BYTES_LIMIT", 1)
         host = SyntheticSmokeDataset(
-            num_samples=4, grid_size=(32, 32), sequence_length=10, seed=5
+            num_samples=4, grid_size=(32, 32), sequence_length=12, seed=5
         )
         assert dev._on_device and not host._on_device
 
