@@ -250,3 +250,84 @@ def test_stream_cli_mesh_space(tmp_path, monkeypatch):
     stream.main()
     feats = np.load(out_dir / "physics_features.npy")
     assert feats.shape == (2, 3) and np.isfinite(feats).all()
+
+
+CONFIG3D = {
+    "data": {"grid_size": [16, 16, 16], "sequence_length": 12,
+             "num_train": 2, "num_val": 2, "cache_dir": None},
+    "model": {
+        "input_dim": 16,
+        "hidden_dim": 32,
+        "num_layers": 1,
+        "num_heads": 4,
+        "output_channels": 8,
+        "chaos_strength": 0.1,
+    },
+    "physics": CONFIG["physics"],
+    "training": CONFIG["training"],
+    "simulation": {"dt": 0.01, "viscosity": 0.001, "grid_size": [16, 16, 16]},
+    "tpu": {"seed": 0, "use_pallas": False},
+}
+
+
+@pytest.fixture(scope="module")
+def tiny3d_npz(tmp_path_factory):
+    """Random-init volumetric checkpoint in the npz export format — the
+    shape the TPU protocol runs consume (checkpoints/*.npz)."""
+    import jax.numpy as jnp
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    from smokephysai_tpu.train.serving import build_model
+
+    model = build_model(CONFIG3D)
+    g = tuple(CONFIG3D["data"]["grid_size"])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "chaos": jax.random.PRNGKey(1)},
+        jnp.zeros((1, *g, 1)), train=False,
+    )
+    flat = {}
+    for col in ("params", "batch_stats"):
+        for path, leaf in tree_flatten_with_path(variables[col])[0]:
+            flat[f"{col}/{keystr(path)}"] = np.asarray(leaf)
+    path = tmp_path_factory.mktemp("ckpt3d") / "tiny3d.npz"
+    np.savez_compressed(path, **flat)
+    return str(path)
+
+
+def test_benchmark_protocol_3d(tiny3d_npz):
+    """The volumetric benchmark branch (PARITY.md 3D protocol): model MSE,
+    physics corr, and the slicewise-Farneback/persistence baselines all
+    come out finite. Regression test for the NaN-fill poisoning that an
+    out-of-range frame+1 once caused (now rejected at construction)."""
+    import benchmark as bench_cli
+    from smokephysai_tpu.data.synthetic3d import SyntheticSmokeDataset3D
+
+    model, variables = load_model(CONFIG3D, tiny3d_npz)
+    predict = make_predictor(model, variables)
+    ds = SyntheticSmokeDataset3D(
+        num_samples=2, grid_size=(16, 16, 16), sequence_length=12, seed=7
+    )
+    batches = list(ds.epoch_batches(jax.random.PRNGKey(0), 1, shuffle=False))
+    mres = bench_cli.evaluate_model(predict, batches)
+    assert np.isfinite(mres["mse"])
+
+    cvres = bench_cli.evaluate_traditional_cv3d(batches)
+    assert "Farneback-slice" in cvres and "Persistence" in cvres
+    assert np.isfinite(cvres["Persistence"]["mse"])
+    bench_cli.print_results(mres, cvres)
+
+
+def test_evaluate_cli_3d(tiny3d_npz):
+    """evaluate.py's volumetric branch: full report, finite values."""
+    from evaluate import run_evaluation
+
+    report = run_evaluation(
+        CONFIG3D, tiny3d_npz, num_samples=2, num_physics_tests=2
+    )
+    assert set(report) == {
+        "physics_consistency", "reconstruction", "gaussian_noise",
+        "adversarial", "physics_perturbation",
+    }
+    assert np.isfinite(report["reconstruction"]["mse"])
+    for level_results in report["gaussian_noise"].values():
+        assert np.isfinite(level_results["feature_stability"])
