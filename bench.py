@@ -367,6 +367,23 @@ def main():
             n3 / (time.perf_counter() - t0), 1
         )
 
+        # multigrid pressure solve (physics/multigrid3d.py): 2 V(2,2)
+        # cycles match CG-30's residual with ~2.6x less stencil work and
+        # zero global reductions
+        f3mg = _j.jit(
+            lambda st: _lax.fori_loop(
+                0, n3,
+                lambda _, c: step3d(c, num_cg_iters=30, pressure_solver="mg"),
+                st,
+            )
+        )
+        float(f3mg(s3).density.sum())  # compile + warm
+        t0 = time.perf_counter()
+        float(f3mg(s3).density.sum())
+        extra["sim3d_steps_per_sec_128cubed_mg"] = round(
+            n3 / (time.perf_counter() - t0), 1
+        )
+
         # fused whole-step VMEM kernel (ops/pallas/fused_step3d.py): one
         # HBM round-trip of the state per step vs XLA's ~10
         from smokephysai_tpu.ops.pallas.fused_step3d import (

@@ -22,7 +22,10 @@ Array = jnp.ndarray
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid_size", "num_steps", "num_cg_iters", "max_sources"),
+    static_argnames=(
+        "grid_size", "num_steps", "num_cg_iters", "max_sources",
+        "pressure_solver",
+    ),
 )
 def simulate_episode3d(
     source_xyz: Array,
@@ -34,6 +37,7 @@ def simulate_episode3d(
     viscosity: float = 0.001,
     num_cg_iters: int = 30,
     max_sources: int = 3,
+    pressure_solver: str = "cg",
 ) -> Tuple[Array, Array]:
     """One fused 3D episode. source_xyz: [max_sources, 3] (x, y, z).
     Returns (sequence [T, D, H, W], chaos_label [3])."""
@@ -53,7 +57,8 @@ def simulate_episode3d(
 
     def body(s, _):
         s = solver3d.step3d(
-            s, dt=dt, viscosity=viscosity, num_cg_iters=num_cg_iters
+            s, dt=dt, viscosity=viscosity, num_cg_iters=num_cg_iters,
+            pressure_solver=pressure_solver,
         )
         return s, s.density
 

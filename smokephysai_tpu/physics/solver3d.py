@@ -239,7 +239,8 @@ def cg_pressure(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_cg_iters", "max_disp", "use_pallas")
+    jax.jit,
+    static_argnames=("num_cg_iters", "max_disp", "use_pallas", "pressure_solver"),
 )
 def step3d(
     state: SimState3D,
@@ -249,10 +250,17 @@ def step3d(
     num_cg_iters: int = 30,
     max_disp: int = 1,
     use_pallas: bool = False,
+    pressure_solver: str = "cg",
 ) -> SimState3D:
     """One 3D step: buoyancy (vertical w faces) -> diffusion -> CG pressure
     projection -> advection -> 0.995 decay (stage order mirrors the 2D
-    reference step, navier_stokes.py:151-173)."""
+    reference step, navier_stokes.py:151-173).
+
+    pressure_solver="mg" swaps CG for the geometric-multigrid solve
+    (physics/multigrid3d.py) — ~2.6x less stencil work and no global
+    reductions for the same residual; num_cg_iters then means V-cycles/15
+    (30 CG iters ~ 2 cycles, keeping the one knob roughly
+    accuracy-equivalent across solvers)."""
     # 1. buoyancy on vertical faces adjacent to each cell
     w_vel = state.w.at[:-1, :, :].add(dt * buoyancy * state.density)
     state = state.replace(w=w_vel)
@@ -269,7 +277,11 @@ def step3d(
     # whole-volume CG kernel (ops/pallas/cg3d.py) when the volume fits —
     # the XLA path streams ~2 GB of HBM per solve at 128^3.
     div = divergence3d(state, dt)
-    if use_pallas:
+    if pressure_solver == "mg":
+        from smokephysai_tpu.physics.multigrid3d import mg_pressure
+
+        p = mg_pressure(state.p, div, num_cycles=max(1, num_cg_iters // 15))
+    elif use_pallas:
         from smokephysai_tpu.ops.pallas.cg3d import cg_pressure_pallas, fits_cg3d
 
         if fits_cg3d(div.shape):
@@ -317,12 +329,14 @@ def multi_step3d(
     num_cg_iters: int = 30,
     max_disp: int = 1,
     use_pallas: bool = False,
+    pressure_solver: str = "cg",
 ) -> Tuple[SimState3D, Array]:
     """Scan over steps; returns final state + density trajectory."""
 
     def body(s, _):
         s = step3d(s, dt=dt, viscosity=viscosity, num_cg_iters=num_cg_iters,
-                   max_disp=max_disp, use_pallas=use_pallas)
+                   max_disp=max_disp, use_pallas=use_pallas,
+                   pressure_solver=pressure_solver)
         return s, s.density
 
     return lax.scan(body, state, None, length=num_steps)

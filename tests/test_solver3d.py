@@ -136,3 +136,67 @@ def test_step3d_tent_matches_gather_path():
     np.testing.assert_allclose(
         np.asarray(out_tent.u), np.asarray(out_gather.u), atol=1e-6
     )
+
+
+class TestMultigridPressure:
+    """physics/multigrid3d.py: the V(2,2) solver that replaces CG-30 as
+    the 3D step's pressure solve (opt-in, pressure_solver='mg')."""
+
+    def test_vcycle_contraction_grid_independent(self):
+        """Error contracts ~0.25/cycle at every grid size — the
+        boundary-corrected coarse operators keep the Dirichlet plane at
+        the fine location (without the correction the factor degraded
+        0.43 -> 0.77 from 16^3 to 32^3 and the warm-started projection
+        amplified p ~1.75x/step)."""
+        from smokephysai_tpu.physics.multigrid3d import _vcycle, num_levels
+
+        for shape in [(16, 16, 16), (32, 32, 32)]:
+            x = jax.random.normal(jax.random.PRNGKey(3), shape)
+            b = jnp.zeros(shape)
+            co = num_levels(shape) - 1
+            n0 = float(jnp.linalg.norm(x))
+            for _ in range(6):
+                x = _vcycle(x, b, 0, co)
+            rho = (float(jnp.linalg.norm(x)) / n0) ** (1 / 6)
+            assert rho < 0.35, f"{shape}: V-cycle factor {rho}"
+
+    def test_mg2_matches_cg30_residual(self):
+        """On a warm-started solver system (the production shape of the
+        problem), 2 V-cycles reach at least CG-30's residual."""
+        from smokephysai_tpu.physics.multigrid3d import mg_pressure
+        from smokephysai_tpu.physics.solver3d import (
+            _laplacian_dirichlet, cg_pressure, divergence3d,
+        )
+
+        s = init_state3d((32, 32, 32))
+        s = s.replace(
+            density=add_smoke_source3d(s.density, 16.0, 16.0, 8.0, 6.0, 1.5)
+        )
+        s, _ = multi_step3d(s, 10)
+        div = divergence3d(s, 0.01)
+        b = -div
+
+        def res(p):
+            return float(jnp.linalg.norm(b + _laplacian_dirichlet(p)))
+
+        r_cg = res(cg_pressure(s.p, div, 30))
+        r_mg = res(mg_pressure(s.p, div, 2))
+        assert r_mg <= r_cg * 1.05, (r_mg, r_cg)
+
+    def test_step3d_mg_trajectory_matches_cg(self):
+        """40-step density trajectories agree to float noise; final
+        divergence equal — MG is a drop-in for the projection."""
+        s0 = init_state3d((32, 32, 32))
+        s0 = s0.replace(
+            density=add_smoke_source3d(s0.density, 16.0, 16.0, 8.0, 6.0, 1.5)
+        )
+        s_cg, traj_cg = multi_step3d(s0, 40)
+        s_mg, traj_mg = multi_step3d(s0, 40, pressure_solver="mg")
+        np.testing.assert_allclose(
+            np.asarray(traj_mg), np.asarray(traj_cg), atol=2e-5
+        )
+        from smokephysai_tpu.physics.solver3d import divergence3d
+
+        d_cg = float(jnp.abs(divergence3d(s_cg, 0.01)).max())
+        d_mg = float(jnp.abs(divergence3d(s_mg, 0.01)).max())
+        assert d_mg <= d_cg * 1.5 + 1e-6, (d_mg, d_cg)
