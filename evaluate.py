@@ -37,6 +37,13 @@ def run_evaluation(
     from smokephysai_tpu.eval.robustness import RobustnessEvaluator
     from smokephysai_tpu.train.serving import load_model, make_predictor
 
+    import time
+
+    t_start = time.time()
+
+    def _stage(name):
+        print(f"[evaluate] {name} @ {time.time() - t_start:.0f}s", flush=True)
+
     grid_size = tuple(config["data"]["grid_size"])
     model, variables = load_model(config, checkpoint)
     predict = make_predictor(model, variables, chaos_seed=config["tpu"].get("seed", 0))
@@ -48,6 +55,7 @@ def run_evaluation(
         # sections over [N, D, H, W, 1] volumes, slicewise SSIM
         from smokephysai_tpu.data.synthetic3d import SyntheticSmokeDataset3D
 
+        _stage("generate 3D episodes")
         ds3 = SyntheticSmokeDataset3D(
             num_samples=num_samples,
             grid_size=grid_size,
@@ -68,6 +76,7 @@ def run_evaluation(
             predict, grad_chunk
         )
     else:
+        _stage("generate episodes")
         ds = SyntheticSmokeDataset(
             num_samples=num_samples,
             grid_size=grid_size,
@@ -87,6 +96,7 @@ def run_evaluation(
     report = {}
 
     evaluator = RobustnessEvaluator()
+    _stage("physics consistency")
     report["physics_consistency"] = evaluator.evaluate_physics_consistency(
         predict, inputs,
         {
@@ -95,17 +105,21 @@ def run_evaluation(
             "entropy": chaos[:, 2],
         },
     )
+    _stage("reconstruction quality")
     report["reconstruction"] = evaluator.evaluate_reconstruction_quality(
         predict, inputs, targets
     )
 
     tester = PerturbationTester()
+    _stage("gaussian noise")
     report["gaussian_noise"] = tester.gaussian_noise_test(
         predict, inputs, key=jax.random.PRNGKey(config["tpu"].get("seed", 0))
     )
+    _stage("adversarial (PGD)")
     report["adversarial"] = tester.adversarial_test(
         raw_predict, inputs, chunk_size=grad_chunk
     )
+    _stage("physics perturbation scenarios")
     report["physics_perturbation"] = tester.physics_perturbation_test(
         raw_predict,
         grid_size=grid_size,
@@ -115,6 +129,7 @@ def run_evaluation(
         dt=config["simulation"]["dt"],
         viscosity=config["simulation"]["viscosity"],
     )
+    _stage("done")
     return report
 
 
