@@ -4,9 +4,12 @@ SmokePhysNet on one chip, reference protocol (batch 4, 128x128 frames —
 reference benchmark.py:257-264; baseline 610.92 ms/frame on an RTX 3090,
 README.md:24 / BASELINE.md).
 
-Prints ONE JSON line:
+Prints the cumulative JSON line
   {"metric": ..., "value": ..., "unit": "ms", "vs_baseline": speedup,
    "extra": {...secondary metrics...}}
+after EVERY completed measurement (the driver takes the last parseable
+line), so a timeout/OOM/tunnel-wedge at any point still records everything
+measured so far.
 
 Secondary metrics in "extra": simulation throughput (steps/sec at 256^2,
 the BASELINE.json tracked metric) for both the XLA and Pallas solver paths.
@@ -250,14 +253,57 @@ def _mark(name):
     print(f"[bench] {name} @ {time.strftime('%H:%M:%S')}", file=sys.stderr, flush=True)
 
 
+# Cumulative result, re-printed after EVERY completed measurement so a
+# timeout/OOM/tunnel-wedge at any point still leaves the driver a parseable
+# JSON line with everything measured so far (the driver takes the last
+# parseable line). Round 3's single end-of-run print lost 29 minutes of
+# measurements to a timeout (BENCH_r03.json: rc=124, parsed=null).
+RESULT = {
+    "metric": "frame_inference_ms",
+    "value": None,
+    "unit": "ms",
+    "vs_baseline": None,
+    "extra": {},
+}
+
+_CACHE_DIRS = ("cache/xla", "/tmp/jax_comp_cache")
+
+
+def _sync_cache(src, dst):
+    """Copy cache entries missing from dst (cheap: skips existing files)."""
+    import os
+    import shutil
+
+    try:
+        os.makedirs(dst, exist_ok=True)
+        have = set(os.listdir(dst))
+        for f in os.listdir(src):
+            if f not in have:
+                shutil.copy(os.path.join(src, f), os.path.join(dst, f))
+    except OSError:
+        pass
+
+
+def _emit():
+    print(json.dumps(RESULT), flush=True)
+    # back up fresh compile-cache entries: machine restarts wipe /tmp and
+    # round transitions have wiped cache/ — mirroring both ways means one
+    # surviving copy re-seeds the other (r3 lost the cache to a restart
+    # and the cold rerun timed out)
+    _sync_cache(_CACHE_DIRS[0], _CACHE_DIRS[1])
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache: the dozen model/solver variants
     this benchmark compiles dominate its wall-clock (~15 of ~20 min through
-    the tunnel); a warm cache cuts repeat runs to the measurement time."""
+    the tunnel); a warm cache cuts repeat runs to the measurement time.
+    Primary dir is repo-local (survives /tmp wipes); merged from the /tmp
+    mirror first in case cache/ was cleaned instead."""
     try:
         import jax
 
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        _sync_cache(_CACHE_DIRS[1], _CACHE_DIRS[0])
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIRS[0])
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # unsupported backend/jax version: compile as usual
@@ -310,35 +356,49 @@ def main():
 
     _enable_compile_cache()  # config must precede backend init
     _init_watchdog(int(os.environ.get("BENCH_INIT_TIMEOUT_S", "900")))
-    _mark("inference f32")
-    pipelined_ms, p50_sync_ms = bench_inference()
-    extra = {"p50_frame_inference_ms_percall": round(p50_sync_ms, 3)}
+    extra = RESULT["extra"]
+    # cheapest compiles first (solver scans), headline second — so even a
+    # cold-cache run killed early leaves real measurements behind
+    try:
+        _mark("sim xla")
+        extra["sim_steps_per_sec_256_xla"] = round(bench_sim(use_pallas=False), 1)
+    except Exception as e:  # pragma: no cover
+        extra["sim_xla_error"] = str(e)[:200]
+    _emit()
+    try:
+        _mark("sim pallas")
+        extra["sim_steps_per_sec_256_pallas"] = round(bench_sim(use_pallas=True), 1)
+    except Exception as e:  # pragma: no cover
+        extra["sim_pallas_error"] = str(e)[:200]
+    _emit()
+    try:
+        _mark("inference f32")
+        pipelined_ms, p50_sync_ms = bench_inference()
+        RESULT["value"] = round(pipelined_ms, 3)
+        RESULT["vs_baseline"] = round(BASELINE_MS_PER_FRAME / pipelined_ms, 2)
+        extra["p50_frame_inference_ms_percall"] = round(p50_sync_ms, 3)
+    except Exception as e:  # pragma: no cover
+        extra["inference_error"] = str(e)[:200]
+    _emit()
     try:
         _mark("inference bf16")
         bf16_pipe, bf16_sync = bench_inference("bfloat16")
         extra["frame_inference_ms_bf16"] = round(bf16_pipe, 3)
     except Exception as e:  # pragma: no cover
         extra["bf16_error"] = str(e)[:200]
-    try:
-        _mark("sim xla")
-        extra["sim_steps_per_sec_256_xla"] = round(bench_sim(use_pallas=False), 1)
-    except Exception as e:  # pragma: no cover
-        extra["sim_xla_error"] = str(e)[:200]
-    try:
-        _mark("sim pallas")
-        extra["sim_steps_per_sec_256_pallas"] = round(bench_sim(use_pallas=True), 1)
-    except Exception as e:  # pragma: no cover
-        extra["sim_pallas_error"] = str(e)[:200]
+    _emit()
     try:
         _mark("sim compute")
         extra["sim_compute_steps_per_sec_256_xla"] = round(
             bench_sim_compute(use_pallas=False), 1
         )
+        _emit()
         extra["sim_compute_steps_per_sec_256_fused"] = round(
             bench_sim_compute(use_pallas=True), 1
         )
     except Exception as e:  # pragma: no cover
         extra["sim_compute_error"] = str(e)[:200]
+    _emit()
     try:
         # 128^3 volumetric sim rate (BASELINE configs[3]); tent-shift
         # advection default — the trilinear gather ran at 1.76 steps/s
@@ -366,6 +426,7 @@ def main():
         extra["sim3d_steps_per_sec_128cubed"] = round(
             n3 / (time.perf_counter() - t0), 1
         )
+        _emit()
 
         # multigrid pressure solve (physics/multigrid3d.py): 2 V(2,2)
         # cycles match CG-30's residual with ~2.6x less stencil work and
@@ -383,6 +444,7 @@ def main():
         extra["sim3d_steps_per_sec_128cubed_mg"] = round(
             n3 / (time.perf_counter() - t0), 1
         )
+        _emit()
 
         # fused whole-step VMEM kernel (ops/pallas/fused_step3d.py): one
         # HBM round-trip of the state per step vs XLA's ~10
@@ -414,8 +476,10 @@ def main():
                 )
             except Exception as e:  # pragma: no cover
                 extra[f"sim3d_fused_{mv}_error"] = str(e)[:200]
+            _emit()
     except Exception as e:  # pragma: no cover
         extra["sim3d_error"] = str(e)[:200]
+    _emit()
     try:
         # training-step throughput (the path that produced every committed
         # checkpoint): f32 parity recipe vs the bf16 mixed-precision path
@@ -426,8 +490,10 @@ def main():
         extra["train_step_ms_f32"] = round(f32_ms, 2)
         if f32_mfu:
             extra["train_mfu_f32"] = round(f32_mfu, 3)
+        _emit()
         bf16_ms, _ = bench_train_step("bfloat16", use_flash=True)
         extra["train_step_ms_bf16_flash"] = round(bf16_ms, 2)
+        _emit()
         fast_ms, fast_mfu = bench_train_step(
             "bfloat16", use_flash=True, fast_math=True
         )
@@ -436,12 +502,15 @@ def main():
             extra["train_mfu_bf16_flash_fast"] = round(fast_mfu, 3)
     except Exception as e:  # pragma: no cover
         extra["train_step_error"] = str(e)[:200]
+    _emit()
     try:
         _mark("streaming")
         extra["streaming_fps_1024"] = round(bench_streaming(), 1)
+        _emit()
         extra["streaming_fps_1024_flash_fast"] = round(
             bench_streaming(use_flash=True, fast_math=True), 1
         )
+        _emit()
         # + pool-first encoder (tpu.fast_encoder, documented divergence):
         # skips the ~154 GFLOP full-res enc_conv2 that dominates the frame
         extra["streaming_fps_1024_fast_encoder"] = round(
@@ -450,6 +519,7 @@ def main():
         )
     except Exception as e:  # pragma: no cover
         extra["streaming_error"] = str(e)[:200]
+    _emit()
     try:
         # serving throughput at batch 64, pipelined (device throughput with
         # per-call dispatch amortised — the tunnel adds ~25 ms per synced
@@ -490,11 +560,14 @@ def main():
 
         _mark("batch64")
         extra["throughput_fps_batch64_bf16"] = round(batch64_fps(False, False), 1)
+        _emit()
         extra["throughput_fps_batch64_bf16_flash"] = round(
             batch64_fps(True, False), 1
         )
+        _emit()
         fast_fps = batch64_fps(True, True)
         extra["throughput_fps_batch64_bf16_flash_fast"] = round(fast_fps, 1)
+        _emit()
         # honest MFU: XLA's own FLOP count for the einsum-attention forward
         # (the flash kernel's FLOPs aren't in cost_analysis, so this is a
         # slight undercount of work actually done on the fast path)
@@ -523,17 +596,7 @@ def main():
     except Exception as e:  # pragma: no cover
         extra["batch64_error"] = str(e)[:200]
 
-    print(
-        json.dumps(
-            {
-                "metric": "frame_inference_ms",
-                "value": round(pipelined_ms, 3),
-                "unit": "ms",
-                "vs_baseline": round(BASELINE_MS_PER_FRAME / pipelined_ms, 2),
-                "extra": extra,
-            }
-        )
-    )
+    _emit()
 
 
 if __name__ == "__main__":

@@ -26,8 +26,15 @@ def run_evaluation(
     checkpoint: str,
     num_samples: int = 50,
     num_physics_tests: int = 50,
+    partial_path: str = None,
 ) -> dict:
-    """Build the full robustness/perturbation report for a checkpoint."""
+    """Build the full robustness/perturbation report for a checkpoint.
+
+    When `partial_path` is given the report-so-far is written there after
+    every completed section (with ``"partial": true`` until the run
+    finishes), so a wall-clock kill mid-suite still publishes the
+    completed stages — the 3D volumetric runs take over an hour through
+    the tunnel and one already died at stage 3/5 with nothing emitted."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -95,6 +102,11 @@ def run_evaluation(
 
     report = {}
 
+    def _flush_partial():
+        if partial_path:
+            with open(partial_path, "w") as f:
+                json.dump({"partial": True, **report}, f, indent=2)
+
     evaluator = RobustnessEvaluator()
     _stage("physics consistency")
     report["physics_consistency"] = evaluator.evaluate_physics_consistency(
@@ -105,20 +117,24 @@ def run_evaluation(
             "entropy": chaos[:, 2],
         },
     )
+    _flush_partial()
     _stage("reconstruction quality")
     report["reconstruction"] = evaluator.evaluate_reconstruction_quality(
         predict, inputs, targets
     )
+    _flush_partial()
 
     tester = PerturbationTester()
     _stage("gaussian noise")
     report["gaussian_noise"] = tester.gaussian_noise_test(
         predict, inputs, key=jax.random.PRNGKey(config["tpu"].get("seed", 0))
     )
+    _flush_partial()
     _stage("adversarial (PGD)")
     report["adversarial"] = tester.adversarial_test(
         raw_predict, inputs, chunk_size=grad_chunk
     )
+    _flush_partial()
     _stage("physics perturbation scenarios")
     report["physics_perturbation"] = tester.physics_perturbation_test(
         raw_predict,
@@ -163,7 +179,8 @@ def main():
     print(f"Using devices: {jax.devices()}")
 
     report = run_evaluation(
-        config, args.checkpoint, args.num_samples, args.num_physics_tests
+        config, args.checkpoint, args.num_samples, args.num_physics_tests,
+        partial_path=args.output,
     )
 
     print(json.dumps(report, indent=2))
