@@ -192,8 +192,22 @@ class SyntheticSmokeDataset:
         # precomputed here instead of shipping the full [B,T,H,W] sequence
         # with every step (168 MB/step at 512^2 through the tunnel).
         seqs = self.data["sequences"]
-        self._on_device = seqs.nbytes < self.DEVICE_BYTES_LIMIT
-        self._sequences = jnp.asarray(seqs) if self._on_device else seqs
+        fits_f32 = seqs.nbytes < self.DEVICE_BYTES_LIMIT
+        # Sequences just over the f32 limit (the flagship 3200-episode 128^2
+        # set is 4.19 GB) go on device as float16 storage: batch gathers cast
+        # the two frames back to f32 and the continuity term uses the
+        # precomputed f32 per-episode constants, so train-step numerics see
+        # only the frame quantisation (~6e-4 absolute on O(1) densities,
+        # ~1e-7 MSE — three orders below the 2e-3 model floor). This keeps
+        # the quality recipe on the zero-copy device path instead of paying
+        # ~28 ms/step of host-side tunnel dispatch.
+        self._seq_f16 = (not fits_f32) and seqs.nbytes / 2 < self.DEVICE_BYTES_LIMIT
+        self._on_device = fits_f32 or self._seq_f16
+        self._sequences = (
+            jnp.asarray(seqs, jnp.float16)
+            if self._seq_f16
+            else jnp.asarray(seqs) if self._on_device else seqs
+        )
         continuity = (
             np.mean(np.abs(np.diff(seqs, axis=1)), axis=(1, 2, 3))
             if seqs.shape[1] > 1
@@ -223,6 +237,16 @@ class SyntheticSmokeDataset:
             tgt = jnp.take_along_axis(
                 seqs, (frame_idx + 1)[:, None, None, None], axis=1
             )[:, 0, :, :, None]
+            if self._seq_f16:
+                # f16-storage path: frames back to f32, continuity from the
+                # precomputed f32 constants (train/loop.py:157-162) instead
+                # of the f16 sequence
+                return {
+                    "input": inp.astype(jnp.float32),
+                    "target": tgt.astype(jnp.float32),
+                    "chaos_features": self._chaos[sample_idx],
+                    "continuity": self._continuity[sample_idx],
+                }
             return {
                 "input": inp,
                 "target": tgt,
