@@ -69,6 +69,7 @@ def pipeline_apply(
     mesh: Mesh,
     num_microbatches: int,
     axis_name: str = "model",
+    data_axis: str = None,
 ) -> Array:
     """Run x through S = mesh.shape[axis_name] sequential stages.
 
@@ -76,6 +77,10 @@ def pipeline_apply(
       stage), sharded over `axis_name`.
     x: [B, ...] with B divisible by num_microbatches.
     stage_fn(params_slice, activation) -> activation, shape-preserving.
+    data_axis: optional second mesh axis to shard the microbatch dimension
+      over (dp x pp: each data-parallel row runs its own pipeline over the
+      stage ring; params replicated across rows, ppermute stays within a
+      row because it only permutes along `axis_name`).
     """
     B = x.shape[0]
     assert B % num_microbatches == 0
@@ -85,13 +90,17 @@ def pipeline_apply(
     param_specs = jax.tree_util.tree_map(
         lambda _: P(axis_name), stacked_params
     )
+    micro_spec = P(None, data_axis) if data_axis else P()
+    out_spec = (
+        P(axis_name, None, data_axis) if data_axis else P(axis_name)
+    )  # [S, M, mb, ...]; row S-1 holds the result
     fn = shard_map(
         functools.partial(
             _pipeline_local, stage_fn=stage_fn, axis_name=axis_name
         ),
         mesh=mesh,
-        in_specs=(param_specs, P()),
-        out_specs=P(axis_name),  # [S, M, mb, ...]; row S-1 holds the result
+        in_specs=(param_specs, micro_spec),
+        out_specs=out_spec,
         check_vma=False,
     )
     outs = fn(stacked_params, micro)
@@ -99,15 +108,37 @@ def pipeline_apply(
     return result.reshape(B, *x.shape[1:])
 
 
-def stack_layer_params(params: Any, num_layers: int, num_stages: int) -> Any:
-    """Group the model's `layer_{i}` param subtrees into pipeline stages:
-    leaves become [num_stages, layers_per_stage, ...] with stage s holding
-    layers [s*lps, (s+1)*lps). This is the bridge from SmokePhysNet's
-    per-layer tree (models/net.py) to `pipeline_apply`'s stacked input."""
-    assert num_layers % num_stages == 0, (num_layers, num_stages)
-    lps = num_layers // num_stages
-    stages = []
+def stack_layer_params(params: Any, num_layers: int, num_stages: int):
+    """Group the model's `layer_{i}` param subtrees into pipeline stages.
+
+    Returns ``(stacked, layer_idx, valid)``:
+      stacked:   pytree, leaves [num_stages, lps_max, ...]
+      layer_idx: int32 [num_stages, lps_max] — global layer index per slot
+                 (drives the per-layer chaos PRNG fold_in)
+      valid:     bool [num_stages, lps_max] — False for padded slots
+
+    Uneven num_layers/num_stages is supported by front-loading (6 layers
+    over 4 stages -> sizes [2, 2, 1, 1]) and padding short stages to
+    lps_max with layer_0's params; padded slots must be masked by the
+    caller's stage_fn (``x = where(valid[j], layer(x), x)``). This is the
+    bridge from SmokePhysNet's per-layer tree (models/net.py) to
+    `pipeline_apply`'s stacked input."""
+    lps_max = -(-num_layers // num_stages)
+    base, rem = divmod(num_layers, num_stages)
+    stages, idx_rows, valid_rows = [], [], []
+    off = 0
     for s in range(num_stages):
-        group = [params[f"layer_{s * lps + j}"] for j in range(lps)]
+        size = base + (1 if s < rem else 0)
+        ids = list(range(off, off + size))
+        off += size
+        pad = lps_max - size
+        idx_rows.append(ids + [0] * pad)
+        valid_rows.append([True] * size + [False] * pad)
+        group = [params[f"layer_{i}"] for i in ids] + [params["layer_0"]] * pad
         stages.append(jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *group))
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *stages)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *stages)
+    return (
+        stacked,
+        jnp.asarray(idx_rows, jnp.int32),
+        jnp.asarray(valid_rows),
+    )

@@ -167,6 +167,7 @@ def make_pipelined_predictor(
     axis_name: str = "model",
     num_microbatches: int | None = None,
     chaos_seed: int = 0,
+    data_axis: str | None = None,
 ) -> Callable[[Array], Dict[str, Array]]:
     """Pipeline-parallel serving (config key `tpu.pipeline_axis`): the six
     ChaosTransformerLayers run as GPipe stages over `axis_name` —
@@ -178,8 +179,6 @@ def make_pipelined_predictor(
     global layer index and shared across microbatches, so the Lorenz init
     is per-microbatch rather than per-batch. Same semantics class as the
     reference's fresh-noise-per-forward (chaos_attention.py:50-52)."""
-    import jax.lax as lax
-
     from smokephysai_tpu.models.net import ChaosTransformerLayer
     from smokephysai_tpu.parallel.pipeline import (
         pipeline_apply,
@@ -187,11 +186,10 @@ def make_pipelined_predictor(
     )
 
     num_stages = mesh.shape[axis_name]
-    lps = model.num_layers // num_stages
-    assert model.num_layers % num_stages == 0
+    lps_max = -(-model.num_layers // num_stages)
     stacked = stack_layer_params(
         variables["params"], model.num_layers, num_stages
-    )
+    )  # (params [S, lps_max, ...], layer_idx, valid) — uneven stages padded
     layer_module = ChaosTransformerLayer(
         model.hidden_dim, model.num_heads, model.chaos_strength,
         dtype=model.dtype, fast_math=model.fast_math,
@@ -200,24 +198,29 @@ def make_pipelined_predictor(
     base_key = jax.random.PRNGKey(chaos_seed)
 
     def stage_fn(stage_params, x):
-        stage = lax.axis_index(axis_name)
-        for j in range(lps):
-            p_j = jax.tree_util.tree_map(lambda t: t[j], stage_params)
-            k_j = jax.random.fold_in(base_key, stage * lps + j)
-            x = layer_module.apply({"params": p_j}, x, True, k_j)
+        p_stage, layer_idx, valid = stage_params
+        for j in range(lps_max):
+            p_j = jax.tree_util.tree_map(lambda t: t[j], p_stage)
+            k_j = jax.random.fold_in(base_key, layer_idx[j])
+            y = layer_module.apply({"params": p_j}, x, True, k_j)
+            x = jnp.where(valid[j], y, x)  # padded slot: pass through
         return x
 
     @jax.jit
     def predict(x: Array) -> Dict[str, Array]:
         # microbatch count must divide the (trace-time static) batch; more
         # microbatches -> less pipeline bubble, so default to the largest
-        # divisor of B up to num_stages
+        # divisor of B up to num_stages (with dp x pp, each microbatch is
+        # additionally split over data_axis, so B/M must divide by its size)
+        dsize = mesh.shape[data_axis] if data_axis else 1
         M = num_microbatches or max(
-            m for m in range(1, num_stages + 1) if x.shape[0] % m == 0
+            m for m in range(1, num_stages + 1)
+            if x.shape[0] % m == 0 and (x.shape[0] // m) % dsize == 0
         )
         feats = model.apply(variables, x, False, method="encode")
         feats = pipeline_apply(
-            stacked, feats, stage_fn, mesh, M, axis_name
+            stacked, feats, stage_fn, mesh, M, axis_name,
+            data_axis=data_axis,
         )
         return model.apply(
             variables, feats, (x.shape[1], x.shape[2]), False, False,

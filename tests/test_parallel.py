@@ -221,6 +221,38 @@ class TestPipeline:
             np.asarray(got), np.asarray(expected), atol=1e-5
         )
 
+    def test_pipeline_dp_x_pp(self):
+        """dp x pp composition (VERDICT r3 #7): each data-parallel row of a
+        data=2 x model=4 mesh runs its own pipeline; the ppermute ring stays
+        within a row. Result must equal the sequential stack."""
+        from smokephysai_tpu.parallel.pipeline import pipeline_apply
+
+        mesh = make_mesh(data=2, model=4)
+        S, D = 4, 16
+        ks = jax.random.split(jax.random.PRNGKey(3), 2)
+        stacked = {
+            "w": jax.random.normal(ks[0], (S, D, D)) / np.sqrt(D),
+            "b": jax.random.normal(ks[1], (S, D)) * 0.1,
+        }
+        x = jax.random.normal(jax.random.PRNGKey(4), (8, D))
+
+        def stage_fn(p, a):
+            return jnp.tanh(a @ p["w"] + p["b"])
+
+        expected = x
+        for i in range(S):
+            expected = jnp.tanh(
+                expected @ stacked["w"][i] + stacked["b"][i]
+            )
+
+        got = pipeline_apply(
+            stacked, x, stage_fn, mesh, num_microbatches=4,
+            axis_name="model", data_axis="data",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), atol=1e-5
+        )
+
     def test_pipeline_single_microbatch(self):
         from smokephysai_tpu.parallel.pipeline import pipeline_apply
 
@@ -332,7 +364,10 @@ class TestPipelineRealTrunk:
         )
         return model, variables, x
 
-    def test_pipelined_trunk_equals_sequential(self):
+    @pytest.mark.parametrize("num_stages", [2, 4])
+    def test_pipelined_trunk_equals_sequential(self, num_stages):
+        """num_stages=4 is the UNEVEN case (VERDICT r3 #7): 6 layers
+        front-loaded as [2, 2, 1, 1] with padded slots masked out."""
         from smokephysai_tpu.models.net import ChaosTransformerLayer
         from smokephysai_tpu.parallel.mesh import make_mesh
         from smokephysai_tpu.parallel.pipeline import (
@@ -340,20 +375,21 @@ class TestPipelineRealTrunk:
         )
 
         model, variables, x = self._model_and_vars()
-        mesh = make_mesh(model=2)  # 2 stages x 3 layers
+        mesh = make_mesh(model=num_stages)
         feats = model.apply(variables, x, False, method="encode")
 
-        num_stages, lps = 2, 3
+        lps_max = -(-6 // num_stages)
         stacked = stack_layer_params(variables["params"], 6, num_stages)
         layer_module = ChaosTransformerLayer(64, 4, 0.1)
         base_key = jax.random.PRNGKey(7)
 
         def stage_fn(stage_params, h):
-            stage = jax.lax.axis_index("model")
-            for j in range(lps):
-                p_j = jax.tree_util.tree_map(lambda t: t[j], stage_params)
-                k_j = jax.random.fold_in(base_key, stage * lps + j)
-                h = layer_module.apply({"params": p_j}, h, True, k_j)
+            p_stage, layer_idx, valid = stage_params
+            for j in range(lps_max):
+                p_j = jax.tree_util.tree_map(lambda t: t[j], p_stage)
+                k_j = jax.random.fold_in(base_key, layer_idx[j])
+                y = layer_module.apply({"params": p_j}, h, True, k_j)
+                h = jnp.where(valid[j], y, h)
             return h
 
         M = 2  # microbatches
