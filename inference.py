@@ -32,6 +32,12 @@ def main():
     parser = argparse.ArgumentParser(description="SmokePhysAI-TPU Inference")
     parser.add_argument("--config", type=str, default="config/config.yaml")
     parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument(
+        "--save_attention", action="store_true",
+        help="also save attention_maps.png (layer-0 attention probs on the "
+        "first input frame). Wires SmokeVisualizer.plot_attention_maps, "
+        "which is dead code in the reference (visualization.py:74-116).",
+    )
     args = parser.parse_args()
 
     import jax
@@ -76,6 +82,25 @@ def main():
         },
         save_path="physics_features.png",
     )
+
+    if args.save_attention:
+        # capture layer-0 attention probs via the 'intermediates' collection
+        # (chaos_attention.py sows them on the einsum path only — the flash
+        # kernel's online softmax never materialises the [L, L] matrix, so
+        # force the parity attention for this one diagnostic forward)
+        attn_model = model.clone(use_flash=False, ring_axis=None)
+        x0 = inputs[:1]
+        _, state = attn_model.apply(
+            variables, x0, False, False,
+            mutable=["intermediates"],
+            rngs={"chaos": jax.random.PRNGKey(config["tpu"]["seed"])},
+        )
+        attn_w = state["intermediates"]["layer_0"]["chaos_attention"][
+            "attn_weights"
+        ][0]
+        visualizer.plot_attention_maps(
+            attn_w, np.asarray(x0), save_path="attention_maps.png"
+        )
 
     # comparison triptych (reference inference.py:93-109)
     fig, axes = plt.subplots(2, 3, figsize=(18, 12))

@@ -155,6 +155,15 @@ class ChaosAttention(nn.Module):
 
         # scores accumulate in f32 (preferred_element_type); softmax in f32
         attn = jax.nn.softmax(scores / self.temperature, axis=-1).astype(self.dtype)
+        # expose the probability matrix to callers that request the
+        # 'intermediates' collection (inference.py --save_attention ->
+        # SmokeVisualizer.plot_attention_maps, which is dead code in the
+        # reference — visualization.py:74-116 has no caller there). Only the
+        # einsum path materialises [B,h,L,L] probs; flash/ring never do (the
+        # online-softmax formulation is the whole point), so attention
+        # capture requires use_flash=False and no ring_axis. DCE'd when the
+        # collection is not mutable.
+        self.sow("intermediates", "attn_weights", attn)
         out = jnp.einsum(
             "bhij,bhjd->bhid", attn, split(v),
             preferred_element_type=jnp.float32,

@@ -167,6 +167,38 @@ def test_attention_map_visualization(tmp_path):
     assert (tmp_path / "attn.png").exists()
 
 
+def test_attention_capture_e2e(trained_exp_dir, tmp_path):
+    """inference.py --save_attention path: layer-0 attention probs come out
+    of the model via the 'intermediates' collection (chaos_attention.py sow)
+    and render through plot_attention_maps."""
+    import jax.numpy as jnp
+    from smokephysai_tpu.utils.visualization import SmokeVisualizer
+
+    exp_dir, _ = trained_exp_dir
+    model, variables = load_model(CONFIG, exp_dir)
+    x0 = jnp.ones((1, 64, 64, 1)) * 0.3
+    attn_model = model.clone(use_flash=False, ring_axis=None)
+    out, state = attn_model.apply(
+        variables, x0, False, False,
+        mutable=["intermediates"],
+        rngs={"chaos": jax.random.PRNGKey(0)},
+    )
+    attn_w = state["intermediates"]["layer_0"]["chaos_attention"][
+        "attn_weights"
+    ][0]
+    B, h, L, _ = attn_w.shape
+    assert (B, h, L) == (1, 4, 1024)
+    # rows are softmax distributions
+    np.testing.assert_allclose(
+        np.asarray(attn_w.sum(-1)), np.ones((B, h, L)), atol=1e-4
+    )
+    viz = SmokeVisualizer()
+    viz.plot_attention_maps(
+        attn_w, np.asarray(x0), save_path=str(tmp_path / "attn_e2e.png")
+    )
+    assert (tmp_path / "attn_e2e.png").exists()
+
+
 def test_evaluate_cli(trained_exp_dir, tmp_path):
     """evaluate.py report: all five sections present with finite values
     (L3 layer runnable end-to-end, unlike reference src/evaluation which no
