@@ -446,37 +446,6 @@ def main():
         )
         _emit()
 
-        # fused whole-step VMEM kernel (ops/pallas/fused_step3d.py): one
-        # HBM round-trip of the state per step vs XLA's ~10
-        from smokephysai_tpu.ops.pallas.fused_step3d import (
-            fused_step3d_pallas,
-        )
-
-        def _fused_loop(matvec):
-            def body(_, c):
-                u, v, w, p, d = fused_step3d_pallas(
-                    c.u, c.v, c.w, c.p, c.density, num_cg_iters=30,
-                    matvec=matvec,
-                )
-                return c.replace(u=u, v=v, w=w, p=p, density=d)
-
-            return _j.jit(lambda st: _lax.fori_loop(0, n3, body, st))
-
-        # each matvec variant individually guarded: they stress different
-        # Mosaic paths (concatenate shifts vs MXU dot_generals), so a
-        # compile failure in one must not mask the other
-        for mv in ("shift", "mxu"):
-            try:
-                ff = _fused_loop(mv)
-                float(ff(s3).density.sum())  # compile + warm
-                t0 = time.perf_counter()
-                float(ff(s3).density.sum())
-                extra[f"sim3d_steps_per_sec_128cubed_fused_{mv}"] = round(
-                    n3 / (time.perf_counter() - t0), 1
-                )
-            except Exception as e:  # pragma: no cover
-                extra[f"sim3d_fused_{mv}_error"] = str(e)[:200]
-            _emit()
     except Exception as e:  # pragma: no cover
         extra["sim3d_error"] = str(e)[:200]
     _emit()

@@ -293,75 +293,6 @@ def test_train_step_bf16_flash_finite():
     assert np.isfinite(float(m["total_loss"]))
 
 
-class TestFusedStep3D:
-    """ops/pallas/fused_step3d.py: the whole-step VMEM kernel must be
-    element-for-element solver3d.step3d (both matvec forms)."""
-
-    def _state(self, shape=(8, 8, 128), seed=21):
-        from smokephysai_tpu.physics.solver3d import (
-            add_smoke_source3d, init_state3d,
-        )
-
-        d, h, w = shape
-        s = init_state3d(shape)
-        s = s.replace(
-            density=add_smoke_source3d(
-                s.density, w / 2, h / 2, d / 2, radius=3.0, intensity=1.5
-            )
-        )
-        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
-        return s.replace(
-            u=0.3 * jax.random.normal(k1, (d, h, w + 1)),
-            v=0.3 * jax.random.normal(k2, (d, h + 1, w)),
-            w=0.3 * jax.random.normal(k3, (d + 1, h, w)),
-        )
-
-    @pytest.mark.parametrize("matvec", ["shift", "mxu"])
-    def test_step_matches_xla(self, matvec):
-        from smokephysai_tpu.ops.pallas.fused_step3d import fused_step3d_pallas
-        from smokephysai_tpu.physics.solver3d import step3d
-
-        s = self._state()
-        ref = step3d(s, num_cg_iters=8)
-        u, v, w, p, density = fused_step3d_pallas(
-            s.u, s.v, s.w, s.p, s.density, num_cg_iters=8, matvec=matvec,
-        )
-        for name, got, want in [
-            ("u", u, ref.u), ("v", v, ref.v), ("w", w, ref.w),
-            ("p", p, ref.p), ("density", density, ref.density),
-        ]:
-            # CG dot products reduce in a different order (fori_loop sum
-            # vs interpret-mode numpy sum) -> few-ULP drift on p ~ O(5)
-            np.testing.assert_allclose(
-                np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5,
-                err_msg=f"{name} ({matvec})",
-            )
-
-    def test_multi_step_trajectory(self):
-        from smokephysai_tpu.ops.pallas.fused_step3d import (
-            fused_multi_step3d_pallas,
-        )
-        from smokephysai_tpu.physics.solver3d import multi_step3d
-
-        s = self._state(seed=22)
-        final, traj = fused_multi_step3d_pallas(s, 3, num_cg_iters=6)
-        ref_final, ref_traj = multi_step3d(s, 3, num_cg_iters=6)
-        np.testing.assert_allclose(
-            np.asarray(traj), np.asarray(ref_traj), atol=1e-5, rtol=1e-5
-        )
-        np.testing.assert_allclose(
-            np.asarray(final.u), np.asarray(ref_final.u), atol=1e-5,
-            rtol=1e-5,
-        )
-
-    def test_fits_gate(self):
-        from smokephysai_tpu.ops.pallas.fused_step3d import fits_fused_step3d
-
-        assert fits_fused_step3d((128, 128, 128))
-        assert not fits_fused_step3d((256, 256, 256))
-        assert not fits_fused_step3d((16, 16, 100))  # lane-misaligned
-
-
 def test_explicit_max_disp_honoured_on_fused_path():
     """An explicit max_disp is honoured VERBATIM by the fused kernel (the
     old plumbing silently coerced 2 -> 1, so the Pallas and XLA paths
