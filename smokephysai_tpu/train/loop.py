@@ -43,14 +43,22 @@ class TrainState:
 
 
 def cosine_epoch_schedule(
-    base_lr: float, num_epochs: int, steps_per_epoch: int
+    base_lr: float, num_epochs: int, steps_per_epoch: int,
+    schedule_epochs: int | None = None, epoch_offset: int = 0,
 ) -> optax.Schedule:
     """torch CosineAnnealingLR(T_max=num_epochs) stepped per *epoch*
-    (reference train.py:232-235, :254): lr(e) = base*0.5*(1+cos(pi*e/T))."""
+    (reference train.py:232-235, :254): lr(e) = base*0.5*(1+cos(pi*e/T)).
+
+    `schedule_epochs` decouples the cosine period T from the number of
+    epochs actually run, and `epoch_offset` starts partway through it —
+    together they let a two-phase run (e.g. bf16 epochs 0-69, then f32
+    epochs 70-99 via init_from) follow ONE continuous 100-epoch anneal.
+    Config keys: training.schedule_epochs / training.schedule_epoch_offset."""
+    T = schedule_epochs or num_epochs
 
     def schedule(step):
-        epoch = jnp.minimum(step // max(steps_per_epoch, 1), num_epochs)
-        return base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / num_epochs))
+        epoch = jnp.minimum(step // max(steps_per_epoch, 1) + epoch_offset, T)
+        return base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / T))
 
     return schedule
 
@@ -113,7 +121,8 @@ def create_train_state(
         {"params": k_p, "chaos": k_c}, jnp.zeros((1, *grid, 1)), train=False
     )
     schedule = cosine_epoch_schedule(
-        tc["learning_rate"], tc["num_epochs"], steps_per_epoch
+        tc["learning_rate"], tc["num_epochs"], steps_per_epoch,
+        tc.get("schedule_epochs"), tc.get("schedule_epoch_offset", 0),
     )
     tx = optax.chain(
         optax.clip_by_global_norm(GRAD_CLIP_NORM),
@@ -370,7 +379,8 @@ def fit(
         val_loss = avg(val_metrics, "total_loss")
         lr = float(
             cosine_epoch_schedule(
-                tc["learning_rate"], tc["num_epochs"], steps_per_epoch
+                tc["learning_rate"], tc["num_epochs"], steps_per_epoch,
+                tc.get("schedule_epochs"), tc.get("schedule_epoch_offset", 0),
             )(state.step)
         )
         if writer is not None:

@@ -240,6 +240,21 @@ class TestTraining:
         )
         assert float(sched(50)) == pytest.approx(0.0, abs=1e-9)
 
+    def test_cosine_schedule_two_phase_continuity(self):
+        """schedule_epochs/epoch_offset let a second run (e.g. an f32 polish
+        started from a bf16 phase-1 export) continue the SAME 100-epoch
+        anneal: phase-2 step 0 must equal the one-run schedule at epoch 70,
+        and the tail must still reach ~0."""
+        one_run = cosine_epoch_schedule(1e-3, 100, steps_per_epoch=5)
+        phase2 = cosine_epoch_schedule(
+            1e-3, 30, steps_per_epoch=5, schedule_epochs=100, epoch_offset=70
+        )
+        for e in range(0, 30, 7):
+            assert float(phase2(e * 5)) == pytest.approx(
+                float(one_run((70 + e) * 5)), rel=1e-6
+            )
+        assert float(phase2(30 * 5)) == pytest.approx(0.0, abs=1e-9)
+
     def test_train_steps_reduce_loss(self, tiny_ds):
         state = create_train_state(
             TINY_CONFIG, jax.random.PRNGKey(0), steps_per_epoch=3
