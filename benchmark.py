@@ -213,15 +213,23 @@ def main():
     parser.add_argument("--config", type=str, default="config/config.yaml")
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--num_samples", type=int, default=50)
+    parser.add_argument(
+        "--set", action="append", default=[], metavar="SEC.KEY=VAL",
+        help="Config override, e.g. --set tpu.use_flash=false — lets one "
+        "checkpoint be gated under different eval numerics (flash vs einsum "
+        "attention, fast_math on/off) without a config file per combination",
+    )
     args = parser.parse_args()
 
     import jax
 
     from smokephysai_tpu.data import SyntheticSmokeDataset
     from smokephysai_tpu.train.serving import load_model, make_predictor
-    from smokephysai_tpu.utils.config import load_config
+    from smokephysai_tpu.utils.config import apply_overrides, load_config
 
-    config = load_config(args.config)
+    config = apply_overrides(load_config(args.config), args.set)
+    if args.set:
+        print(f"Config overrides: {args.set}")
     print(f"Using devices: {jax.devices()}")
 
     model, variables = load_model(config, args.checkpoint)

@@ -85,3 +85,19 @@ def load_config(config_path: str | None = None) -> Dict[str, Any]:
     with open(config_path) as f:
         user = yaml.safe_load(f) or {}
     return _merge(DEFAULTS, user)
+
+
+def apply_overrides(config: Dict[str, Any], overrides: list[str]) -> Dict[str, Any]:
+    """Apply `section.key=value` CLI overrides in place. Values are parsed
+    with yaml.safe_load so `false`, `0.001`, `[128,128]` all get the right
+    type. Dotted paths create intermediate dicts as needed."""
+    for item in overrides:
+        path, _, raw = item.partition("=")
+        if not _:
+            raise ValueError(f"override {item!r} is not of the form a.b=val")
+        keys = path.strip().split(".")
+        node = config
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = yaml.safe_load(raw)
+    return config

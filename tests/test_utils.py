@@ -31,6 +31,25 @@ class TestConfig:
         assert cfg["model"]["chaos_strength"] == 0.1
         assert cfg["simulation"]["dt"] == 0.01
 
+    def test_apply_overrides_types_and_paths(self):
+        from smokephysai_tpu.utils.config import apply_overrides
+
+        cfg = load_config(None)
+        apply_overrides(cfg, [
+            "tpu.use_flash=false",
+            "training.learning_rate=0.0005",
+            "data.grid_size=[64, 64]",
+            "new_section.key=hi",
+        ])
+        assert cfg["tpu"]["use_flash"] is False
+        assert cfg["training"]["learning_rate"] == 0.0005
+        assert cfg["data"]["grid_size"] == [64, 64]
+        assert cfg["new_section"]["key"] == "hi"
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            apply_overrides(cfg, ["no_equals_sign"])
+
 
 class TestProfiling:
     def test_timer_blocks_on_device(self):
