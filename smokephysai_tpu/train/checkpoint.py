@@ -14,12 +14,20 @@ from typing import Any, Dict, Optional, Tuple
 import orbax.checkpoint as ocp
 
 CKPT_NAME = "best_model"
+LAST_NAME = "last_model"
 META_NAME = "meta.json"
 
 
-def save_checkpoint(exp_dir: str, state, meta: Dict[str, Any]) -> str:
-    """Save TrainState arrays + JSON metadata under exp_dir/best_model."""
-    path = os.path.abspath(os.path.join(exp_dir, CKPT_NAME))
+def save_checkpoint(
+    exp_dir: str, state, meta: Dict[str, Any], name: str = CKPT_NAME
+) -> str:
+    """Save TrainState arrays + JSON metadata under exp_dir/<name>.
+
+    `name=CKPT_NAME` is the best-val checkpoint (reference train.py:268-277
+    semantics); fit() additionally writes `name=LAST_NAME` at the end of
+    training — a phase-1 run of the two-phase recipe must hand its FINAL
+    state (not the noisy-val best) to the phase-2 --init_from."""
+    path = os.path.abspath(os.path.join(exp_dir, name))
     ckptr = ocp.StandardCheckpointer()
     payload = {
         "params": state.params,
@@ -30,7 +38,8 @@ def save_checkpoint(exp_dir: str, state, meta: Dict[str, Any]) -> str:
     }
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
-    with open(os.path.join(exp_dir, META_NAME), "w") as f:
+    meta_name = META_NAME if name == CKPT_NAME else f"{name}_meta.json"
+    with open(os.path.join(exp_dir, meta_name), "w") as f:
         json.dump(meta, f, indent=2, default=str)
     return path
 

@@ -279,7 +279,7 @@ def fit(
     checkpoint, working resume. `init_from` warm-starts params/batch_stats
     from an npz export with a fresh optimiser (cross-resolution
     fine-tuning)."""
-    from .checkpoint import restore_checkpoint, save_checkpoint
+    from .checkpoint import LAST_NAME, restore_checkpoint, save_checkpoint
 
     tc = config["training"]
     batch_size = tc["batch_size"]
@@ -315,7 +315,7 @@ def fit(
         _shard_batch = lambda b: b
 
     start_epoch = 0
-    best_val_loss = float("inf")
+    best_val_loss = val_loss = float("inf")
     if resume_from:
         state, meta = restore_checkpoint(resume_from, state)
         start_epoch = int(meta.get("epoch", 0)) + 1
@@ -405,4 +405,11 @@ def fit(
                 meta,
             )
 
-    return state.replace(params=ema_params) if ema_decay else state
+    final_state = state.replace(params=ema_params) if ema_decay else state
+    save_checkpoint(
+        exp_dir,
+        final_state,
+        {"epoch": tc["num_epochs"] - 1, "val_loss": val_loss, "config": config},
+        name=LAST_NAME,
+    )
+    return final_state

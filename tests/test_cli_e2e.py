@@ -60,6 +60,18 @@ def test_fit_saves_checkpoint(trained_exp_dir):
     assert os.path.exists(os.path.join(exp_dir, "meta.json"))
 
 
+def test_fit_saves_last_model(trained_exp_dir):
+    """fit() also writes last_model (the FINAL state — what a two-phase
+    recipe's --init_from needs) next to the best-val checkpoint, and it
+    restores as a direct Orbax dir path through load_model."""
+    exp_dir, _ = trained_exp_dir
+    last = os.path.join(exp_dir, "last_model")
+    assert os.path.isdir(last)
+    assert os.path.exists(os.path.join(exp_dir, "last_model_meta.json"))
+    _, variables = load_model(CONFIG, last)
+    assert "params" in variables and "batch_stats" in variables
+
+
 def test_resume_from_checkpoint(trained_exp_dir):
     exp_dir, val_ds = trained_exp_dir
     train_ds = SyntheticSmokeDataset(
