@@ -351,219 +351,244 @@ def _init_watchdog(timeout_s: int) -> None:
     done.set()
 
 
+SECTIONS = (
+    "sim", "inference", "sim_compute", "sim3d", "train", "streaming", "batch64"
+)
+
+
 def main():
+    import argparse
     import os
+
+    ap = argparse.ArgumentParser(description="SmokePhysAI-TPU headline bench")
+    ap.add_argument(
+        "--sections", type=str, default="all",
+        help="comma-separated subset of " + ",".join(SECTIONS) + " — re-measure "
+        "one metric without the full ~20 min run (default: all)",
+    )
+    cli = ap.parse_args()
+    picked = set(SECTIONS if cli.sections == "all" else cli.sections.split(","))
+    unknown = picked - set(SECTIONS)
+    if unknown:
+        ap.error(f"unknown sections {sorted(unknown)}; valid: {SECTIONS}")
 
     _enable_compile_cache()  # config must precede backend init
     _init_watchdog(int(os.environ.get("BENCH_INIT_TIMEOUT_S", "900")))
     extra = RESULT["extra"]
     # cheapest compiles first (solver scans), headline second — so even a
     # cold-cache run killed early leaves real measurements behind
-    try:
-        _mark("sim xla")
-        extra["sim_steps_per_sec_256_xla"] = round(bench_sim(use_pallas=False), 1)
-    except Exception as e:  # pragma: no cover
-        extra["sim_xla_error"] = str(e)[:200]
-    _emit()
-    try:
-        _mark("sim pallas")
-        extra["sim_steps_per_sec_256_pallas"] = round(bench_sim(use_pallas=True), 1)
-    except Exception as e:  # pragma: no cover
-        extra["sim_pallas_error"] = str(e)[:200]
-    _emit()
-    try:
-        _mark("inference f32")
-        pipelined_ms, p50_sync_ms = bench_inference()
-        RESULT["value"] = round(pipelined_ms, 3)
-        RESULT["vs_baseline"] = round(BASELINE_MS_PER_FRAME / pipelined_ms, 2)
-        extra["p50_frame_inference_ms_percall"] = round(p50_sync_ms, 3)
-    except Exception as e:  # pragma: no cover
-        extra["inference_error"] = str(e)[:200]
-    _emit()
-    try:
-        _mark("inference bf16")
-        bf16_pipe, bf16_sync = bench_inference("bfloat16")
-        extra["frame_inference_ms_bf16"] = round(bf16_pipe, 3)
-    except Exception as e:  # pragma: no cover
-        extra["bf16_error"] = str(e)[:200]
-    _emit()
-    try:
-        _mark("sim compute")
-        extra["sim_compute_steps_per_sec_256_xla"] = round(
-            bench_sim_compute(use_pallas=False), 1
-        )
+    if "sim" in picked:
+        try:
+            _mark("sim xla")
+            extra["sim_steps_per_sec_256_xla"] = round(bench_sim(use_pallas=False), 1)
+        except Exception as e:  # pragma: no cover
+            extra["sim_xla_error"] = str(e)[:200]
         _emit()
-        extra["sim_compute_steps_per_sec_256_fused"] = round(
-            bench_sim_compute(use_pallas=True), 1
-        )
-    except Exception as e:  # pragma: no cover
-        extra["sim_compute_error"] = str(e)[:200]
-    _emit()
-    try:
-        # 128^3 volumetric sim rate (BASELINE configs[3]); tent-shift
-        # advection default — the trilinear gather ran at 1.76 steps/s
-        _mark("sim3d 128^3")
-        import jax as _j
-        from jax import lax as _lax
-
-        from smokephysai_tpu.physics.solver3d import (
-            add_smoke_source3d, init_state3d, step3d,
-        )
-
-        s3 = init_state3d((128, 128, 128))
-        s3 = s3.replace(
-            density=add_smoke_source3d(s3.density, 64.0, 64.0, 20.0, 10.0, 1.5)
-        )
-        n3 = 50  # amortise the ~30 ms tunnel dispatch (1.5 ms/step at n=20)
-        f3 = _j.jit(
-            lambda st: _lax.fori_loop(
-                0, n3, lambda _, c: step3d(c, num_cg_iters=30), st
+        try:
+            _mark("sim pallas")
+            extra["sim_steps_per_sec_256_pallas"] = round(bench_sim(use_pallas=True), 1)
+        except Exception as e:  # pragma: no cover
+            extra["sim_pallas_error"] = str(e)[:200]
+        _emit()
+    if "inference" in picked:
+        try:
+            _mark("inference f32")
+            pipelined_ms, p50_sync_ms = bench_inference()
+            RESULT["value"] = round(pipelined_ms, 3)
+            RESULT["vs_baseline"] = round(BASELINE_MS_PER_FRAME / pipelined_ms, 2)
+            extra["p50_frame_inference_ms_percall"] = round(p50_sync_ms, 3)
+        except Exception as e:  # pragma: no cover
+            extra["inference_error"] = str(e)[:200]
+        _emit()
+        try:
+            _mark("inference bf16")
+            bf16_pipe, bf16_sync = bench_inference("bfloat16")
+            extra["frame_inference_ms_bf16"] = round(bf16_pipe, 3)
+        except Exception as e:  # pragma: no cover
+            extra["bf16_error"] = str(e)[:200]
+        _emit()
+    if "sim_compute" in picked:
+        try:
+            _mark("sim compute")
+            extra["sim_compute_steps_per_sec_256_xla"] = round(
+                bench_sim_compute(use_pallas=False), 1
             )
-        )
-        float(f3(s3).density.sum())  # compile + warm
-        t0 = time.perf_counter()
-        float(f3(s3).density.sum())
-        extra["sim3d_steps_per_sec_128cubed"] = round(
-            n3 / (time.perf_counter() - t0), 1
-        )
-        _emit()
-
-        # multigrid pressure solve (physics/multigrid3d.py): 2 V(2,2)
-        # cycles match CG-30's residual with ~2.6x less stencil work and
-        # zero global reductions
-        f3mg = _j.jit(
-            lambda st: _lax.fori_loop(
-                0, n3,
-                lambda _, c: step3d(c, num_cg_iters=30, pressure_solver="mg"),
-                st,
+            _emit()
+            extra["sim_compute_steps_per_sec_256_fused"] = round(
+                bench_sim_compute(use_pallas=True), 1
             )
-        )
-        float(f3mg(s3).density.sum())  # compile + warm
-        t0 = time.perf_counter()
-        float(f3mg(s3).density.sum())
-        extra["sim3d_steps_per_sec_128cubed_mg"] = round(
-            n3 / (time.perf_counter() - t0), 1
-        )
+        except Exception as e:  # pragma: no cover
+            extra["sim_compute_error"] = str(e)[:200]
         _emit()
+    if "sim3d" in picked:
+        try:
+            # 128^3 volumetric sim rate (BASELINE configs[3]); tent-shift
+            # advection default — the trilinear gather ran at 1.76 steps/s
+            _mark("sim3d 128^3")
+            import jax as _j
+            from jax import lax as _lax
 
-    except Exception as e:  # pragma: no cover
-        extra["sim3d_error"] = str(e)[:200]
-    _emit()
-    try:
-        # training-step throughput (the path that produced every committed
-        # checkpoint): f32 parity recipe vs the bf16 mixed-precision path
-        # (tpu.train_compute_dtype). MFU uses XLA's own FLOP count for the
-        # whole fwd+bwd+AdamW program.
-        _mark("train step")
-        f32_ms, f32_mfu = bench_train_step("float32")
-        extra["train_step_ms_f32"] = round(f32_ms, 2)
-        if f32_mfu:
-            extra["train_mfu_f32"] = round(f32_mfu, 3)
-        _emit()
-        bf16_ms, _ = bench_train_step("bfloat16", use_flash=True)
-        extra["train_step_ms_bf16_flash"] = round(bf16_ms, 2)
-        _emit()
-        fast_ms, fast_mfu = bench_train_step(
-            "bfloat16", use_flash=True, fast_math=True
-        )
-        extra["train_step_ms_bf16_flash_fast"] = round(fast_ms, 2)
-        if fast_mfu:
-            extra["train_mfu_bf16_flash_fast"] = round(fast_mfu, 3)
-    except Exception as e:  # pragma: no cover
-        extra["train_step_error"] = str(e)[:200]
-    _emit()
-    try:
-        _mark("streaming")
-        extra["streaming_fps_1024"] = round(bench_streaming(), 1)
-        _emit()
-        extra["streaming_fps_1024_flash_fast"] = round(
-            bench_streaming(use_flash=True, fast_math=True), 1
-        )
-        _emit()
-        # + pool-first encoder (tpu.fast_encoder, documented divergence):
-        # skips the ~154 GFLOP full-res enc_conv2 that dominates the frame
-        extra["streaming_fps_1024_fast_encoder"] = round(
-            bench_streaming(use_flash=True, fast_math=True,
-                            fast_encoder=True), 1
-        )
-    except Exception as e:  # pragma: no cover
-        extra["streaming_error"] = str(e)[:200]
-    _emit()
-    try:
-        # serving throughput at batch 64, pipelined (device throughput with
-        # per-call dispatch amortised — the tunnel adds ~25 ms per synced
-        # call, which a real serving queue never pays). Three variants:
-        # einsum parity path, Pallas token-major flash attention, and
-        # flash + fast_math (bf16 residual stream + tanh GELU).
-        import jax as _jax
-        import jax.numpy as _jnp
+            from smokephysai_tpu.physics.solver3d import (
+                add_smoke_source3d, init_state3d, step3d,
+            )
 
-        from smokephysai_tpu.train.serving import build_model, make_predictor
+            s3 = init_state3d((128, 128, 128))
+            s3 = s3.replace(
+                density=add_smoke_source3d(s3.density, 64.0, 64.0, 20.0, 10.0, 1.5)
+            )
+            n3 = 50  # amortise the ~30 ms tunnel dispatch (1.5 ms/step at n=20)
+            f3 = _j.jit(
+                lambda st: _lax.fori_loop(
+                    0, n3, lambda _, c: step3d(c, num_cg_iters=30), st
+                )
+            )
+            float(f3(s3).density.sum())  # compile + warm
+            t0 = time.perf_counter()
+            float(f3(s3).density.sum())
+            extra["sim3d_steps_per_sec_128cubed"] = round(
+                n3 / (time.perf_counter() - t0), 1
+            )
+            _emit()
 
-        def batch64_fps(use_flash, fast_math):
-            cfg = {
+            # multigrid pressure solve (physics/multigrid3d.py): 2 V(2,2)
+            # cycles match CG-30's residual with ~2.6x less stencil work and
+            # zero global reductions
+            f3mg = _j.jit(
+                lambda st: _lax.fori_loop(
+                    0, n3,
+                    lambda _, c: step3d(c, num_cg_iters=30, pressure_solver="mg"),
+                    st,
+                )
+            )
+            float(f3mg(s3).density.sum())  # compile + warm
+            t0 = time.perf_counter()
+            float(f3mg(s3).density.sum())
+            extra["sim3d_steps_per_sec_128cubed_mg"] = round(
+                n3 / (time.perf_counter() - t0), 1
+            )
+            _emit()
+
+        except Exception as e:  # pragma: no cover
+            extra["sim3d_error"] = str(e)[:200]
+        _emit()
+    if "train" in picked:
+        try:
+            # training-step throughput (the path that produced every committed
+            # checkpoint): f32 parity recipe vs the bf16 mixed-precision path
+            # (tpu.train_compute_dtype). MFU uses XLA's own FLOP count for the
+            # whole fwd+bwd+AdamW program.
+            _mark("train step")
+            f32_ms, f32_mfu = bench_train_step("float32")
+            extra["train_step_ms_f32"] = round(f32_ms, 2)
+            if f32_mfu:
+                extra["train_mfu_f32"] = round(f32_mfu, 3)
+            _emit()
+            bf16_ms, _ = bench_train_step("bfloat16", use_flash=True)
+            extra["train_step_ms_bf16_flash"] = round(bf16_ms, 2)
+            _emit()
+            fast_ms, fast_mfu = bench_train_step(
+                "bfloat16", use_flash=True, fast_math=True
+            )
+            extra["train_step_ms_bf16_flash_fast"] = round(fast_ms, 2)
+            if fast_mfu:
+                extra["train_mfu_bf16_flash_fast"] = round(fast_mfu, 3)
+        except Exception as e:  # pragma: no cover
+            extra["train_step_error"] = str(e)[:200]
+        _emit()
+    if "streaming" in picked:
+        try:
+            _mark("streaming")
+            extra["streaming_fps_1024"] = round(bench_streaming(), 1)
+            _emit()
+            extra["streaming_fps_1024_flash_fast"] = round(
+                bench_streaming(use_flash=True, fast_math=True), 1
+            )
+            _emit()
+            # + pool-first encoder (tpu.fast_encoder, documented divergence):
+            # skips the ~154 GFLOP full-res enc_conv2 that dominates the frame
+            extra["streaming_fps_1024_fast_encoder"] = round(
+                bench_streaming(use_flash=True, fast_math=True,
+                                fast_encoder=True), 1
+            )
+        except Exception as e:  # pragma: no cover
+            extra["streaming_error"] = str(e)[:200]
+        _emit()
+    if "batch64" in picked:
+        try:
+            # serving throughput at batch 64, pipelined (device throughput with
+            # per-call dispatch amortised — the tunnel adds ~25 ms per synced
+            # call, which a real serving queue never pays). Three variants:
+            # einsum parity path, Pallas token-major flash attention, and
+            # flash + fast_math (bf16 residual stream + tanh GELU).
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            from smokephysai_tpu.train.serving import build_model, make_predictor
+
+            def batch64_fps(use_flash, fast_math):
+                cfg = {
+                    "model": {
+                        "input_dim": 128, "hidden_dim": 512, "num_layers": 6,
+                        "num_heads": 8, "output_channels": 64,
+                        "chaos_strength": 0.1,
+                    },
+                    "tpu": {
+                        "compute_dtype": "bfloat16", "use_flash": use_flash,
+                        "fast_math": fast_math,
+                    },
+                }
+                m = build_model(cfg)
+                xb = _jnp.zeros((64, 128, 128, 1), _jnp.float32)
+                vs = m.init(
+                    {"params": _jax.random.PRNGKey(0),
+                     "chaos": _jax.random.PRNGKey(1)},
+                    xb, train=False,
+                )
+                pred = make_predictor(m, vs)
+                float(pred(xb)["reconstructed"].sum())  # warm + readback
+                reps = 30
+                t0 = time.perf_counter()
+                outs = [pred(xb)["reconstructed"] for _ in range(reps)]
+                float(outs[-1].sum())  # scalar readback (tunnel-safe sync)
+                return reps * 64.0 / (time.perf_counter() - t0)
+
+            _mark("batch64")
+            extra["throughput_fps_batch64_bf16"] = round(batch64_fps(False, False), 1)
+            _emit()
+            extra["throughput_fps_batch64_bf16_flash"] = round(
+                batch64_fps(True, False), 1
+            )
+            _emit()
+            fast_fps = batch64_fps(True, True)
+            extra["throughput_fps_batch64_bf16_flash_fast"] = round(fast_fps, 1)
+            _emit()
+            # honest MFU: XLA's own FLOP count for the einsum-attention forward
+            # (the flash kernel's FLOPs aren't in cost_analysis, so this is a
+            # slight undercount of work actually done on the fast path)
+            from smokephysai_tpu.utils.profiling import flops_estimate, mfu
+
+            m = build_model({
                 "model": {
                     "input_dim": 128, "hidden_dim": 512, "num_layers": 6,
-                    "num_heads": 8, "output_channels": 64,
-                    "chaos_strength": 0.1,
+                    "num_heads": 8, "output_channels": 64, "chaos_strength": 0.1,
                 },
-                "tpu": {
-                    "compute_dtype": "bfloat16", "use_flash": use_flash,
-                    "fast_math": fast_math,
-                },
-            }
-            m = build_model(cfg)
+                "tpu": {"compute_dtype": "bfloat16"},
+            })
             xb = _jnp.zeros((64, 128, 128, 1), _jnp.float32)
             vs = m.init(
-                {"params": _jax.random.PRNGKey(0),
-                 "chaos": _jax.random.PRNGKey(1)},
+                {"params": _jax.random.PRNGKey(0), "chaos": _jax.random.PRNGKey(1)},
                 xb, train=False,
             )
-            pred = make_predictor(m, vs)
-            float(pred(xb)["reconstructed"].sum())  # warm + readback
-            reps = 30
-            t0 = time.perf_counter()
-            outs = [pred(xb)["reconstructed"] for _ in range(reps)]
-            float(outs[-1].sum())  # scalar readback (tunnel-safe sync)
-            return reps * 64.0 / (time.perf_counter() - t0)
-
-        _mark("batch64")
-        extra["throughput_fps_batch64_bf16"] = round(batch64_fps(False, False), 1)
-        _emit()
-        extra["throughput_fps_batch64_bf16_flash"] = round(
-            batch64_fps(True, False), 1
-        )
-        _emit()
-        fast_fps = batch64_fps(True, True)
-        extra["throughput_fps_batch64_bf16_flash_fast"] = round(fast_fps, 1)
-        _emit()
-        # honest MFU: XLA's own FLOP count for the einsum-attention forward
-        # (the flash kernel's FLOPs aren't in cost_analysis, so this is a
-        # slight undercount of work actually done on the fast path)
-        from smokephysai_tpu.utils.profiling import flops_estimate, mfu
-
-        m = build_model({
-            "model": {
-                "input_dim": 128, "hidden_dim": 512, "num_layers": 6,
-                "num_heads": 8, "output_channels": 64, "chaos_strength": 0.1,
-            },
-            "tpu": {"compute_dtype": "bfloat16"},
-        })
-        xb = _jnp.zeros((64, 128, 128, 1), _jnp.float32)
-        vs = m.init(
-            {"params": _jax.random.PRNGKey(0), "chaos": _jax.random.PRNGKey(1)},
-            xb, train=False,
-        )
-        key = _jax.random.PRNGKey(0)
-        fl = flops_estimate(
-            lambda x: m.apply(vs, x, train=False, rngs={"chaos": key}), xb
-        )
-        if fl:
-            u = mfu(fl / 64.0 * fast_fps)
-            if u:
-                extra["mfu_batch64_flash_fast"] = round(u, 3)
-    except Exception as e:  # pragma: no cover
-        extra["batch64_error"] = str(e)[:200]
+            key = _jax.random.PRNGKey(0)
+            fl = flops_estimate(
+                lambda x: m.apply(vs, x, train=False, rngs={"chaos": key}), xb
+            )
+            if fl:
+                u = mfu(fl / 64.0 * fast_fps)
+                if u:
+                    extra["mfu_batch64_flash_fast"] = round(u, 3)
+        except Exception as e:  # pragma: no cover
+            extra["batch64_error"] = str(e)[:200]
 
     _emit()
 
