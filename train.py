@@ -26,13 +26,21 @@ def main():
         help="Initialise params/batch_stats from an .npz checkpoint export "
         "(fresh optimiser state) — fine-tuning, e.g. 128^2 -> 512^2",
     )
+    parser.add_argument(
+        "--set", action="append", default=[], metavar="SEC.KEY=VAL",
+        help="Config override, e.g. --set tpu.fast_math=false — lets one "
+        "base YAML drive recipe variants (precision/epoch-split ablations) "
+        "without a config file per variant",
+    )
     args = parser.parse_args()
 
-    from smokephysai_tpu.utils.config import load_config
+    from smokephysai_tpu.utils.config import apply_overrides, load_config
     from smokephysai_tpu.data import create_data_loaders
     from smokephysai_tpu.train.loop import fit
 
-    config = load_config(args.config)
+    config = apply_overrides(load_config(args.config), args.set)
+    if args.set:
+        print(f"Config overrides: {args.set}")
 
     if args.resume == "auto":
         from smokephysai_tpu.train.checkpoint import latest_checkpoint
