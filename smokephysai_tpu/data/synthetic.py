@@ -46,6 +46,36 @@ def _check_sequence_length(sequence_length: int) -> None:
         )
 
 
+def epoch_order_frames(
+    key: Array, n: int, sequence_length: int, shuffle: bool
+) -> Tuple[Array, Array]:
+    """Episode visit order + per-episode input-frame draws for one epoch.
+
+    This is the SINGLE source of epoch batch composition: the per-batch
+    iterators (2D `_epoch_batches_sync`, 3D `epoch_batches`) and the fused
+    whole-epoch programs (train/loop.py `make_train_epoch`/`make_eval_epoch`,
+    which trace it inside jit) all call it with the same key, so a fused
+    epoch sees bit-identical batches to the per-batch loop."""
+    k_perm, k_frames = jax.random.split(key)
+    order = jax.random.permutation(k_perm, n) if shuffle else jnp.arange(n)
+    frames = jax.random.randint(
+        k_frames, (n,), FRAME_RANGE[0], sequence_length + FRAME_RANGE[1]
+    )
+    return order, frames
+
+
+def epoch_index_arrays(
+    key: Array, n: int, batch_size: int, sequence_length: int, shuffle: bool
+) -> Tuple[Array, Array]:
+    """[num_full_batches, B] episode + frame index arrays for a fused epoch
+    (the ragged tail is dropped, exactly like the shuffled per-batch path;
+    validation callers handle the tail eagerly)."""
+    order, frames = epoch_order_frames(key, n, sequence_length, shuffle)
+    num_full = n // batch_size
+    idx = order[: num_full * batch_size].reshape(num_full, batch_size)
+    return idx, frames[idx]
+
+
 def sample_source_params(
     key: Array, num_samples: int, grid_size: Tuple[int, int]
 ) -> Dict[str, Array]:
@@ -308,12 +338,8 @@ class SyntheticSmokeDataset:
         self, key: Array, batch_size: int, shuffle: bool
     ) -> Iterator[Dict[str, Array]]:
         n = len(self)
-        k_perm, k_frames = jax.random.split(key)
-        order = (
-            jax.random.permutation(k_perm, n) if shuffle else jnp.arange(n)
-        )
-        frames = jax.random.randint(
-            k_frames, (n,), FRAME_RANGE[0], self.sequence_length + FRAME_RANGE[1]
+        order, frames = epoch_order_frames(
+            key, n, self.sequence_length, shuffle
         )
         if not self._on_device:
             # one readback per EPOCH: per-batch slicing of device-resident

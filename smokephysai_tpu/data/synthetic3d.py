@@ -17,6 +17,7 @@ from .synthetic import (
     MAX_SOURCES,
     SOURCE_MARGIN,
     _check_sequence_length,
+    epoch_order_frames,
 )
 
 Array = jnp.ndarray
@@ -142,11 +143,8 @@ class SyntheticSmokeDataset3D:
         shuffled epochs drop the ragged tail to keep jit shapes static;
         validation keeps it)."""
         n = len(self)
-        k_perm, k_frames = jax.random.split(key)
-        order = jax.random.permutation(k_perm, n) if shuffle else jnp.arange(n)
-        frames = jax.random.randint(
-            k_frames, (n,), FRAME_RANGE[0],
-            self.sequence_length + FRAME_RANGE[1],
+        order, frames = epoch_order_frames(
+            key, n, self.sequence_length, shuffle
         )
         num_full = n // batch_size
         for b in range(num_full):

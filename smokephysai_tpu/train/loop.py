@@ -183,16 +183,10 @@ def compute_losses(
     }
 
 
-def make_train_step(physics_cfg: Dict, ema_decay: float = 0.0) -> Callable:
-    """Jitted, buffer-donated train step (params/opt-state buffers are
-    updated in place in HBM).
-
-    With ema_decay > 0 (training.ema_decay; no reference analog — opt-in
-    quality lever) the returned step has the 4-arg signature
-    ``(state, ema_params, batch, rng) -> (state, ema_params, metrics)``
-    and maintains an exponential moving average of the params inside the
-    same XLA program (no extra dispatch). EMA lives outside TrainState so
-    every existing 3-arg caller is untouched."""
+def _make_step_impl(physics_cfg: Dict) -> Callable:
+    """Untransformed (state, batch, rng) -> (state, metrics) train step —
+    jitted per-batch by make_train_step, scanned whole-epoch by
+    make_train_epoch."""
     def _step_impl(
         state: TrainState, batch: Dict[str, Array], rng: Array
     ) -> Tuple[TrainState, Dict[str, Array]]:
@@ -220,6 +214,21 @@ def make_train_step(physics_cfg: Dict, ema_decay: float = 0.0) -> Callable:
         )
         return new_state, metrics
 
+    return _step_impl
+
+
+def make_train_step(physics_cfg: Dict, ema_decay: float = 0.0) -> Callable:
+    """Jitted, buffer-donated train step (params/opt-state buffers are
+    updated in place in HBM).
+
+    With ema_decay > 0 (training.ema_decay; no reference analog — opt-in
+    quality lever) the returned step has the 4-arg signature
+    ``(state, ema_params, batch, rng) -> (state, ema_params, metrics)``
+    and maintains an exponential moving average of the params inside the
+    same XLA program (no extra dispatch). EMA lives outside TrainState so
+    every existing 3-arg caller is untouched."""
+    _step_impl = _make_step_impl(physics_cfg)
+
     if ema_decay:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -237,9 +246,8 @@ def make_train_step(physics_cfg: Dict, ema_decay: float = 0.0) -> Callable:
     return functools.partial(jax.jit, donate_argnums=(0,))(_step_impl)
 
 
-def make_eval_step(physics_cfg: Dict) -> Callable:
-    @jax.jit
-    def eval_step(
+def _make_eval_impl(physics_cfg: Dict) -> Callable:
+    def _eval_impl(
         state: TrainState, batch: Dict[str, Array], rng: Array
     ) -> Dict[str, Array]:
         outputs = state.apply_fn(
@@ -251,7 +259,78 @@ def make_eval_step(physics_cfg: Dict) -> Callable:
         _, metrics = compute_losses(outputs, batch, physics_cfg)
         return metrics
 
-    return eval_step
+    return _eval_impl
+
+
+def make_eval_step(physics_cfg: Dict) -> Callable:
+    return jax.jit(_make_eval_impl(physics_cfg))
+
+
+def make_train_epoch(
+    train_ds, physics_cfg: Dict, batch_size: int
+) -> Callable:
+    """Whole-epoch fused training program (``tpu.fused_epoch``).
+
+    The per-batch loop in fit() pays one tunnel dispatch per batch gather
+    and per train step — ~20-30 ms each on a remote chip, which floors a
+    25 ms bf16 step at ~55 ms wall (400+ dispatches/epoch at 128² batch 8).
+    Device-resident datasets don't need any of that: this traces the epoch's
+    permutation + frame draws (`epoch_index_arrays`, bit-identical batch
+    composition to the loop path), every batch gather (`ds.get_batch`, pure
+    jnp on the on-device path) and every train step into ONE jitted
+    `lax.scan` — a single dispatch per epoch. Dataset arrays are closure
+    constants (jaxpr constvars lower to executable parameters, not copies).
+
+    Returns ``(state, key_epoch) -> (state, metrics)`` with metrics stacked
+    per step ([num_batches] leaves), so TB per-50-batch logging survives.
+    No reference analog (the reference's DataLoader is host-side,
+    data_loader.py:134-143); this is the jit-the-outer-loop move that XLA's
+    compilation model rewards."""
+    from smokephysai_tpu.data.synthetic import epoch_index_arrays
+
+    _step_impl = _make_step_impl(physics_cfg)
+    n, seq_len = len(train_ds), train_ds.sequence_length
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_epoch(
+        state: TrainState, key_epoch: Array
+    ) -> Tuple[TrainState, Dict[str, Array]]:
+        idx, fidx = epoch_index_arrays(
+            key_epoch, n, batch_size, seq_len, shuffle=True
+        )
+
+        def body(st, ib_fb):
+            ib, fb = ib_fb
+            return _step_impl(st, train_ds.get_batch(ib, fb), key_epoch)
+
+        return jax.lax.scan(body, state, (idx, fidx))
+
+    return train_epoch
+
+
+def make_eval_epoch(val_ds, physics_cfg: Dict, batch_size: int) -> Callable:
+    """Fused validation pass: all full batches in one jitted scan
+    (in-order, like the per-batch path). The ragged tail batch, if any,
+    is the caller's to run eagerly — fit() does, with the same
+    `epoch_order_frames` draws, so scores match the loop path exactly."""
+    from smokephysai_tpu.data.synthetic import epoch_index_arrays
+
+    _eval_impl = _make_eval_impl(physics_cfg)
+    n, seq_len = len(val_ds), val_ds.sequence_length
+
+    @jax.jit
+    def eval_epoch(state: TrainState, key_eval: Array) -> Dict[str, Array]:
+        idx, fidx = epoch_index_arrays(
+            key_eval, n, batch_size, seq_len, shuffle=False
+        )
+
+        def body(_, ib_fb):
+            ib, fb = ib_fb
+            return None, _eval_impl(state, val_ds.get_batch(ib, fb), key_eval)
+
+        return jax.lax.scan(body, None, (idx, fidx))[1]
+
+    return eval_epoch
 
 
 # convenience single-config entry points
@@ -337,6 +416,26 @@ def fit(
     if ema_decay:
         print_fn(f"EMA enabled (decay {ema_decay})")
 
+    # tpu.fused_epoch: run each epoch (and val pass) as ONE jitted scan —
+    # see make_train_epoch. Only for device-resident datasets on a single
+    # chip without EMA; everything else keeps the per-batch loop.
+    fused = (
+        bool(tpu_cfg.get("fused_epoch", False))
+        and mesh is None
+        and not ema_decay
+        and getattr(train_ds, "_on_device", True)
+        and getattr(val_ds, "_on_device", True)
+        and len(train_ds) >= batch_size
+    )
+    if fused:
+        tepoch = make_train_epoch(train_ds, config["physics"], batch_size)
+        eepoch = make_eval_epoch(val_ds, config["physics"], batch_size)
+        print_fn("Fused-epoch training: one XLA program per epoch")
+
+    def _unstack(stacked: Dict[str, np.ndarray]):
+        num = len(next(iter(stacked.values())))
+        return [{k: v[i] for k, v in stacked.items()} for i in range(num)]
+
     for epoch in range(start_epoch, tc["num_epochs"]):
         key, k_epoch, k_eval = jax.random.split(key, 3)
         t0 = time.time()
@@ -344,18 +443,29 @@ def fit(
         batch_logs = []  # (global_step, device metrics) — materialised at
         # epoch end; a device_get inside the loop drains the dispatch
         # pipeline (one tunnel round-trip stall per log)
-        for batch_idx, batch in enumerate(
-            train_ds.epoch_batches(k_epoch, batch_size, shuffle=True)
-        ):
-            if ema_decay:
-                state, ema_params, metrics = tstep(
-                    state, ema_params, _shard_batch(batch), k_epoch
-                )
-            else:
-                state, metrics = tstep(state, _shard_batch(batch), k_epoch)
-            train_metrics.append(metrics)
-            if writer is not None and batch_idx % log_every == 0:
-                batch_logs.append((epoch * steps_per_epoch + batch_idx, metrics))
+        if fused:
+            state, stacked = tepoch(state, k_epoch)
+            train_metrics = _unstack(jax.device_get(stacked))
+            if writer is not None:
+                batch_logs = [
+                    (epoch * steps_per_epoch + i, train_metrics[i])
+                    for i in range(0, len(train_metrics), log_every)
+                ]
+        else:
+            for batch_idx, batch in enumerate(
+                train_ds.epoch_batches(k_epoch, batch_size, shuffle=True)
+            ):
+                if ema_decay:
+                    state, ema_params, metrics = tstep(
+                        state, ema_params, _shard_batch(batch), k_epoch
+                    )
+                else:
+                    state, metrics = tstep(state, _shard_batch(batch), k_epoch)
+                train_metrics.append(metrics)
+                if writer is not None and batch_idx % log_every == 0:
+                    batch_logs.append(
+                        (epoch * steps_per_epoch + batch_idx, metrics)
+                    )
         for gs, metrics in batch_logs:
             m = jax.device_get(metrics)
             writer.add_scalar("Train/Batch_Total_Loss", float(m["total_loss"]), gs)
@@ -369,8 +479,22 @@ def fit(
         val_state = (
             state.replace(params=ema_params) if ema_decay else state
         )
-        for batch in val_ds.epoch_batches(k_eval, batch_size, shuffle=False):
-            val_metrics.append(estep(val_state, _shard_batch(batch), k_eval))
+        if fused:
+            val_metrics = _unstack(jax.device_get(eepoch(val_state, k_eval)))
+            n_val = len(val_ds)
+            if n_val % batch_size:  # ragged tail, same draws as the loop path
+                from smokephysai_tpu.data.synthetic import epoch_order_frames
+
+                order, frames = epoch_order_frames(
+                    k_eval, n_val, val_ds.sequence_length, shuffle=False
+                )
+                tail = order[(n_val // batch_size) * batch_size:]
+                val_metrics.append(
+                    estep(val_state, val_ds.get_batch(tail, frames[tail]), k_eval)
+                )
+        else:
+            for batch in val_ds.epoch_batches(k_eval, batch_size, shuffle=False):
+                val_metrics.append(estep(val_state, _shard_batch(batch), k_eval))
 
         def avg(ms, k):
             return float(np.mean([np.asarray(m[k]) for m in ms])) if ms else 0.0

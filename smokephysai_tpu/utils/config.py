@@ -57,6 +57,10 @@ DEFAULTS: Dict[str, Any] = {
         "train_compute_dtype": "float32",  # 'bfloat16' = mixed-precision
         # training: bf16 matmul/conv compute, f32 master params + optimizer
         # state + loss (params are stored f32 and cast at use, layers.py)
+        "fused_epoch": False,  # run each train epoch (and val pass) as ONE
+        # jitted lax.scan over the on-device dataset — removes the ~30 ms/step
+        # tunnel dispatch floor (train/loop.py make_train_epoch). Single-chip,
+        # device-resident datasets, no EMA; otherwise falls back to the loop.
         "use_flash": False,   # Pallas flash attention on the serving path
         "fast_math": False,   # bf16 residual stream in the trunk (serving)
         "fast_encoder": False,  # pool oversize frames to input_dim^2 BEFORE

@@ -327,6 +327,94 @@ class TestTraining:
             state.params,
         )
 
+    def test_fused_epoch_matches_loop(self, tiny_ds):
+        """tpu.fused_epoch correctness: one whole-epoch lax.scan program
+        (make_train_epoch / make_eval_epoch) must reproduce the per-batch
+        loop exactly — same batch composition (shared epoch_order_frames
+        draws), same per-step PRNG (rng=k_epoch, fold_in(state.step)),
+        matching losses and final params."""
+        from smokephysai_tpu.train.loop import make_eval_epoch, make_train_epoch
+
+        B = 2
+        state_a = create_train_state(
+            TINY_CONFIG, jax.random.PRNGKey(0), steps_per_epoch=3
+        )
+        state_b = create_train_state(
+            TINY_CONFIG, jax.random.PRNGKey(0), steps_per_epoch=3
+        )
+        k = jax.random.PRNGKey(42)
+
+        tstep = make_train_step(TINY_CONFIG["physics"])
+        loop_losses = []
+        for batch in tiny_ds.epoch_batches(k, B, shuffle=True):
+            state_a, m = tstep(state_a, batch, k)
+            loop_losses.append(float(m["total_loss"]))
+
+        tepoch = make_train_epoch(tiny_ds, TINY_CONFIG["physics"], B)
+        state_b, stacked = tepoch(state_b, k)
+        fused_losses = np.asarray(stacked["total_loss"])
+
+        assert len(loop_losses) == len(fused_losses) == len(tiny_ds) // B
+        np.testing.assert_allclose(fused_losses, loop_losses, rtol=2e-5)
+        assert int(state_b.step) == int(state_a.step)
+        # not bit-exact: XLA schedules the scan body differently from the
+        # per-batch jit, and Adam amplifies reordering noise early on (v≈0
+        # makes m/(sqrt(v)+eps) swing by up to one lr quantum per step), so
+        # params agree to ~lr while the per-step losses above agree to 2e-5
+        # — the loss trajectory is what proves identical batch composition
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-2, atol=2e-3
+            ),
+            state_a.params,
+            state_b.params,
+        )
+
+        ke = jax.random.PRNGKey(7)
+        estep = make_eval_step(TINY_CONFIG["physics"])
+        ev_loop = [
+            float(estep(state_b, batch, ke)["total_loss"])
+            for batch in tiny_ds.epoch_batches(ke, B, shuffle=False)
+        ]
+        eepoch = make_eval_epoch(tiny_ds, TINY_CONFIG["physics"], B)
+        ev_fused = np.asarray(eepoch(state_b, ke)["total_loss"])
+        np.testing.assert_allclose(ev_fused, ev_loop, rtol=2e-5)
+
+    def test_fused_epoch_fit(self, tiny_ds, tmp_path):
+        """fit() with tpu.fused_epoch end-to-end, including the ragged val
+        tail (5 val episodes at batch 2 -> 2 fused batches + 1 eager):
+        same epoch losses as the per-batch fit."""
+        from smokephysai_tpu.train.loop import fit
+
+        val_ds = SyntheticSmokeDataset(
+            num_samples=5, grid_size=(64, 64), sequence_length=20, seed=1
+        )
+        config = {
+            **TINY_CONFIG,
+            "training": {**TINY_CONFIG["training"], "num_epochs": 2},
+        }
+        logs = {}
+        for name, fused in (("loop", False), ("fused", True)):
+            cfg = {**config, "tpu": {**config["tpu"], "fused_epoch": fused}}
+            lines = []
+            fit(
+                cfg, tiny_ds, val_ds, str(tmp_path / name), writer=None,
+                print_fn=lambda *a: lines.append(" ".join(map(str, a))),
+            )
+            logs[name] = [l for l in lines if l.startswith("Epoch")]
+        def losses(lines):  # "Epoch e/N: train X val Y lr ..." -> [(X, Y)]
+            return np.array(
+                [[float(l.split()[3]), float(l.split()[5])] for l in lines]
+            )
+
+        assert len(logs["fused"]) == 2
+        # rtol reflects the param drift of test_fused_epoch_matches_loop
+        # (Adam amplifies scan-vs-loop scheduling noise) carried into epoch
+        # aggregates — composition identity is proven per-step there
+        np.testing.assert_allclose(
+            losses(logs["fused"]), losses(logs["loop"]), rtol=1e-3
+        )
+
     def test_eval_step_runs(self, tiny_ds):
         state = create_train_state(
             TINY_CONFIG, jax.random.PRNGKey(0), steps_per_epoch=3
