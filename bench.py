@@ -249,6 +249,66 @@ def bench_train_step(
     return ms, u
 
 
+def bench_train_epoch(
+    fused, train_dtype="bfloat16", use_flash=True, fast_math=True, batch=8,
+    num_samples=800,
+):
+    """Wall ms/step of a REAL training epoch — batch gathers + steps + epoch
+    orchestration on an 800-episode on-device 128² dataset, i.e. what fit()
+    actually pays, unlike bench_train_step's back-to-back donated slope.
+    fused=False is the per-batch loop (one tunnel dispatch per gather and
+    per step, ~20-30 ms each); fused=True routes through
+    train/loop.make_train_epoch (tpu.fused_epoch): ONE dispatch per epoch."""
+    import jax
+    import jax.numpy as jnp
+
+    from smokephysai_tpu.data.synthetic import SyntheticSmokeDataset
+    from smokephysai_tpu.train.loop import (
+        create_train_state,
+        make_train_epoch,
+        make_train_step,
+    )
+    from smokephysai_tpu.utils.config import load_config
+
+    config = load_config()
+    config["tpu"]["train_compute_dtype"] = train_dtype
+    config["tpu"]["use_flash"] = use_flash
+    config["tpu"]["fast_math"] = fast_math
+    ds = SyntheticSmokeDataset(
+        num_samples=num_samples, grid_size=(128, 128), sequence_length=20,
+        cache_path=f"./cache/train_128x128_T20_n{num_samples}_s0.npz", seed=0,
+    )
+    steps = len(ds) // batch
+    state = create_train_state(config, jax.random.PRNGKey(0), steps)
+    key = jax.random.PRNGKey(1)
+
+    if fused:
+        tepoch = make_train_epoch(ds, config["physics"], batch)
+
+        def one_epoch(k):
+            nonlocal state
+            state, m = tepoch(state, k)
+            float(jnp.sum(m["total_loss"]))  # scalar readback (tunnel-safe)
+    else:
+        tstep = make_train_step(config["physics"])
+
+        def one_epoch(k):
+            nonlocal state
+            m = None
+            for b in ds.epoch_batches(k, batch, shuffle=True):
+                state, m = tstep(state, b, k)
+            float(m["total_loss"])
+
+    one_epoch(key)  # compile + warm at the exact timed shapes
+    best = float("inf")
+    for i in range(2):
+        k = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        one_epoch(k)
+        best = min(best, time.perf_counter() - t0)
+    return best / steps * 1000.0
+
+
 def _mark(name):
     print(f"[bench] {name} @ {time.strftime('%H:%M:%S')}", file=sys.stderr, flush=True)
 
@@ -492,6 +552,17 @@ def main():
             extra["train_step_ms_bf16_flash_fast"] = round(fast_ms, 2)
             if fast_mfu:
                 extra["train_mfu_bf16_flash_fast"] = round(fast_mfu, 3)
+            _emit()
+            # real-epoch wall time (what fit() pays: gathers + dispatch per
+            # batch) vs the fused whole-epoch program (tpu.fused_epoch)
+            _mark("train epoch loop vs fused")
+            extra["train_epoch_ms_per_step_loop"] = round(
+                bench_train_epoch(fused=False), 2
+            )
+            _emit()
+            extra["train_epoch_ms_per_step_fused"] = round(
+                bench_train_epoch(fused=True), 2
+            )
         except Exception as e:  # pragma: no cover
             extra["train_step_error"] = str(e)[:200]
         _emit()
