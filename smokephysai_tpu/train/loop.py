@@ -267,7 +267,7 @@ def make_eval_step(physics_cfg: Dict) -> Callable:
 
 
 def make_train_epoch(
-    train_ds, physics_cfg: Dict, batch_size: int
+    train_ds, physics_cfg: Dict, batch_size: int, ema_decay: float = 0.0
 ) -> Callable:
     """Whole-epoch fused training program (``tpu.fused_epoch``).
 
@@ -283,27 +283,52 @@ def make_train_epoch(
 
     Returns ``(state, key_epoch) -> (state, metrics)`` with metrics stacked
     per step ([num_batches] leaves), so TB per-50-batch logging survives.
-    No reference analog (the reference's DataLoader is host-side,
-    data_loader.py:134-143); this is the jit-the-outer-loop move that XLA's
-    compilation model rewards."""
+    With ema_decay > 0 the signature gains an ema_params carry, mirroring
+    make_train_step's EMA variant. No reference analog (the reference's
+    DataLoader is host-side, data_loader.py:134-143); this is the
+    jit-the-outer-loop move that XLA's compilation model rewards."""
     from smokephysai_tpu.data.synthetic import epoch_index_arrays
 
     _step_impl = _make_step_impl(physics_cfg)
     n, seq_len = len(train_ds), train_ds.sequence_length
 
+    def _indices(key_epoch):
+        return epoch_index_arrays(
+            key_epoch, n, batch_size, seq_len, shuffle=True
+        )
+
+    if ema_decay:
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_epoch_ema(state, ema_params, key_epoch):
+            def body(carry, ib_fb):
+                st, ema = carry
+                ib, fb = ib_fb
+                st, metrics = _step_impl(
+                    st, train_ds.get_batch(ib, fb), key_epoch
+                )
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: e + (1.0 - ema_decay) * (p - e),
+                    ema, st.params,
+                )
+                return (st, ema), metrics
+
+            (state, ema_params), metrics = jax.lax.scan(
+                body, (state, ema_params), _indices(key_epoch)
+            )
+            return state, ema_params, metrics
+
+        return train_epoch_ema
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_epoch(
         state: TrainState, key_epoch: Array
     ) -> Tuple[TrainState, Dict[str, Array]]:
-        idx, fidx = epoch_index_arrays(
-            key_epoch, n, batch_size, seq_len, shuffle=True
-        )
-
         def body(st, ib_fb):
             ib, fb = ib_fb
             return _step_impl(st, train_ds.get_batch(ib, fb), key_epoch)
 
-        return jax.lax.scan(body, state, (idx, fidx))
+        return jax.lax.scan(body, state, _indices(key_epoch))
 
     return train_epoch
 
@@ -418,17 +443,18 @@ def fit(
 
     # tpu.fused_epoch: run each epoch (and val pass) as ONE jitted scan —
     # see make_train_epoch. Only for device-resident datasets on a single
-    # chip without EMA; everything else keeps the per-batch loop.
+    # chip; everything else keeps the per-batch loop.
     fused = (
         bool(tpu_cfg.get("fused_epoch", False))
         and mesh is None
-        and not ema_decay
         and getattr(train_ds, "_on_device", True)
         and getattr(val_ds, "_on_device", True)
         and len(train_ds) >= batch_size
     )
     if fused:
-        tepoch = make_train_epoch(train_ds, config["physics"], batch_size)
+        tepoch = make_train_epoch(
+            train_ds, config["physics"], batch_size, ema_decay=ema_decay
+        )
         eepoch = make_eval_epoch(val_ds, config["physics"], batch_size)
         print_fn("Fused-epoch training: one XLA program per epoch")
 
@@ -444,7 +470,10 @@ def fit(
         # epoch end; a device_get inside the loop drains the dispatch
         # pipeline (one tunnel round-trip stall per log)
         if fused:
-            state, stacked = tepoch(state, k_epoch)
+            if ema_decay:
+                state, ema_params, stacked = tepoch(state, ema_params, k_epoch)
+            else:
+                state, stacked = tepoch(state, k_epoch)
             train_metrics = _unstack(jax.device_get(stacked))
             if writer is not None:
                 batch_logs = [

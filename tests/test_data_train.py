@@ -415,6 +415,43 @@ class TestTraining:
             losses(logs["fused"]), losses(logs["loop"]), rtol=1e-3
         )
 
+    def test_fused_epoch_ema(self, tiny_ds, tmp_path):
+        """tpu.fused_epoch composes with training.ema_decay: the EMA carry
+        rides inside the scan; epoch losses and the returned (EMA) params
+        match the per-batch EMA path."""
+        from smokephysai_tpu.train.loop import fit
+
+        config = {
+            **TINY_CONFIG,
+            "training": {**TINY_CONFIG["training"], "num_epochs": 2,
+                         "ema_decay": 0.9},
+        }
+        states, logs = {}, {}
+        for name, fused in (("loop", False), ("fused", True)):
+            cfg = {**config, "tpu": {**config["tpu"], "fused_epoch": fused}}
+            lines = []
+            states[name] = fit(
+                cfg, tiny_ds, tiny_ds, str(tmp_path / name), writer=None,
+                print_fn=lambda *a: lines.append(" ".join(map(str, a))),
+            )
+            logs[name] = [l for l in lines if l.startswith("Epoch")]
+
+        def losses(lines):
+            return np.array(
+                [[float(l.split()[3]), float(l.split()[5])] for l in lines]
+            )
+
+        np.testing.assert_allclose(
+            losses(logs["fused"]), losses(logs["loop"]), rtol=1e-3
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-2, atol=2e-3
+            ),
+            states["loop"].params,
+            states["fused"].params,
+        )
+
     def test_eval_step_runs(self, tiny_ds):
         state = create_train_state(
             TINY_CONFIG, jax.random.PRNGKey(0), steps_per_epoch=3
