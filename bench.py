@@ -180,9 +180,10 @@ def bench_streaming(
         density=add_smoke_source(state.density, grid / 2, grid / 2, 32.0, 1.5)
     )
 
-    roll = jax.jit(
-        lambda s: streaming_rollout(model, variables, s, num_frames=frames)
-    )
+    # streaming_rollout is jitted internally with variables as an argument;
+    # wrapping it in another jit-over-a-closure would re-embed the params
+    # as ~111 MB of module literals (slow remote compile)
+    roll = lambda s: streaming_rollout(model, variables, s, num_frames=frames)
     final, outs = roll(state)  # compile + warm
     float(jnp.sum(outs["physics_features"]))  # scalar readback (tunnel-safe)
     t0 = time.perf_counter()
@@ -326,22 +327,10 @@ RESULT = {
     "extra": {},
 }
 
-_CACHE_DIRS = ("cache/xla", "/tmp/jax_comp_cache")
-
-
-def _sync_cache(src, dst):
-    """Copy cache entries missing from dst (cheap: skips existing files)."""
-    import os
-    import shutil
-
-    try:
-        os.makedirs(dst, exist_ok=True)
-        have = set(os.listdir(dst))
-        for f in os.listdir(src):
-            if f not in have:
-                shutil.copy(os.path.join(src, f), os.path.join(dst, f))
-    except OSError:
-        pass
+from smokephysai_tpu.utils.compile_cache import (  # noqa: E402
+    backup_cache,
+    enable_compile_cache as _enable_compile_cache,
+)
 
 
 def _emit():
@@ -350,23 +339,7 @@ def _emit():
     # round transitions have wiped cache/ — mirroring both ways means one
     # surviving copy re-seeds the other (r3 lost the cache to a restart
     # and the cold rerun timed out)
-    _sync_cache(_CACHE_DIRS[0], _CACHE_DIRS[1])
-
-
-def _enable_compile_cache():
-    """Persistent XLA compilation cache: the dozen model/solver variants
-    this benchmark compiles dominate its wall-clock (~15 of ~20 min through
-    the tunnel); a warm cache cuts repeat runs to the measurement time.
-    Primary dir is repo-local (survives /tmp wipes); merged from the /tmp
-    mirror first in case cache/ was cleaned instead."""
-    try:
-        import jax
-
-        _sync_cache(_CACHE_DIRS[1], _CACHE_DIRS[0])
-        jax.config.update("jax_compilation_cache_dir", _CACHE_DIRS[0])
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # unsupported backend/jax version: compile as usual
+    backup_cache()
 
 
 def _init_watchdog(timeout_s: int) -> None:

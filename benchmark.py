@@ -209,6 +209,9 @@ def print_results(model_results, cv_results):
 
 
 def main():
+    from smokephysai_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description="SmokePhysAI-TPU Benchmark")
     parser.add_argument("--config", type=str, default="config/config.yaml")
     parser.add_argument("--checkpoint", type=str, required=True)

@@ -150,6 +150,9 @@ def run_evaluation(
 
 
 def main():
+    from smokephysai_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description="SmokePhysAI-TPU Evaluation")
     parser.add_argument("--config", type=str, default="config/config.yaml")
     parser.add_argument(

@@ -29,6 +29,9 @@ def generate_test_sequence(simulator, sequence_length=20):
 
 
 def main():
+    from smokephysai_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description="SmokePhysAI-TPU Inference")
     parser.add_argument("--config", type=str, default="config/config.yaml")
     parser.add_argument("--checkpoint", type=str, required=True)

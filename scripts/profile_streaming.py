@@ -59,7 +59,11 @@ def make_rollout(model, variables, grid, stage):
     fractal = jnp.asarray(fractal_field((grid, grid)))
     chaos_key = jax.random.PRNGKey(0)
 
-    def body(s, _):
+    def body(carry, _):
+        # variables ride in the scan CARRY (a jit argument), not the
+        # closure — closed-over params embed ~111 MB of literals in the
+        # module (see serving.make_predictor)
+        s, variables = carry
         s = solver.step(s, use_pallas=True)
         frame = s.density * (1.0 + FRACTAL_INTENSITY * fractal)
         out = jnp.float32(0)
@@ -78,9 +82,9 @@ def make_rollout(model, variables, grid, stage):
                     out = res["physics_features"].sum()
         else:
             out = jnp.sum(frame)
-        return s, out
+        return (s, variables), out
 
-    return state, body
+    return (state, variables), body
 
 
 def timed_fps(state, body, n_lo=10, n_hi=40):

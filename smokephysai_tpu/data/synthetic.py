@@ -173,6 +173,48 @@ def generate_dataset(
     }
 
 
+def gather_device_batch(
+    sequences: Array,
+    chaos: Array,
+    continuity: Array,
+    sample_idx: Array,
+    frame_idx: Array,
+    seq_f16: bool,
+) -> Dict[str, Array]:
+    """Pure on-device batch assembly from the dataset's device arrays.
+
+    Shared by `SyntheticSmokeDataset.get_batch` (per-batch loop) and the
+    fused whole-epoch programs (train/loop.make_train_epoch), which must
+    take these arrays as jit ARGUMENTS: a traced function that closes over
+    them instead embeds the entire dataset as StableHLO literal constants
+    (measured: module bytes ≈ dataset bytes), and shipping a multi-GB
+    module to a remote compile service stalls for tens of minutes."""
+    seqs = sequences[sample_idx]  # [B, T, H, W]
+    inp = jnp.take_along_axis(
+        seqs, frame_idx[:, None, None, None], axis=1
+    )[:, 0, :, :, None]
+    tgt = jnp.take_along_axis(
+        seqs, (frame_idx + 1)[:, None, None, None], axis=1
+    )[:, 0, :, :, None]
+    if seq_f16:
+        # f16-storage path: frames back to f32, continuity from the
+        # precomputed f32 constants (train/loop.py:157-162) instead
+        # of the f16 sequence
+        return {
+            "input": inp.astype(jnp.float32),
+            "target": tgt.astype(jnp.float32),
+            "chaos_features": chaos[sample_idx],
+            "continuity": continuity[sample_idx],
+        }
+    return {
+        "input": inp,
+        "target": tgt,
+        "chaos_features": chaos[sample_idx],
+        "sequence": seqs,
+        "continuity": continuity[sample_idx],
+    }
+
+
 class SyntheticSmokeDataset:
     """Array-backed dataset with the reference's sampling semantics
     (reference data_loader.py:10-123): a sample is a random frame t in
@@ -253,6 +295,13 @@ class SyntheticSmokeDataset:
     def __len__(self) -> int:
         return self._sequences.shape[0]
 
+    def device_arrays(self) -> Tuple[Array, Array, Array]:
+        """(sequences, chaos, continuity) device arrays for the fused epoch
+        programs — passed as jit arguments, never closed over (see
+        gather_device_batch). On-device datasets only."""
+        assert self._on_device, "host-resident dataset has no device arrays"
+        return self._sequences, self._chaos, self._continuity
+
     def get_batch(self, sample_idx: Array, frame_idx: Array) -> Dict[str, Array]:
         """Assemble a batch from episode + frame indices. input/target are
         NHWC [B, H, W, 1]. Device-resident datasets also carry the full
@@ -260,30 +309,14 @@ class SyntheticSmokeDataset:
         host-resident ones replace it with the precomputed per-episode
         'continuity' values."""
         if self._on_device:
-            seqs = self._sequences[sample_idx]  # [B, T, H, W]
-            inp = jnp.take_along_axis(
-                seqs, frame_idx[:, None, None, None], axis=1
-            )[:, 0, :, :, None]
-            tgt = jnp.take_along_axis(
-                seqs, (frame_idx + 1)[:, None, None, None], axis=1
-            )[:, 0, :, :, None]
-            if self._seq_f16:
-                # f16-storage path: frames back to f32, continuity from the
-                # precomputed f32 constants (train/loop.py:157-162) instead
-                # of the f16 sequence
-                return {
-                    "input": inp.astype(jnp.float32),
-                    "target": tgt.astype(jnp.float32),
-                    "chaos_features": self._chaos[sample_idx],
-                    "continuity": self._continuity[sample_idx],
-                }
-            return {
-                "input": inp,
-                "target": tgt,
-                "chaos_features": self._chaos[sample_idx],
-                "sequence": seqs,
-                "continuity": self._continuity[sample_idx],
-            }
+            return gather_device_batch(
+                self._sequences,
+                self._chaos,
+                self._continuity,
+                sample_idx,
+                frame_idx,
+                self._seq_f16,
+            )
         si = np.asarray(sample_idx)
         fi = np.asarray(frame_idx)
         # Pack input+target into ONE host->device transfer (half the RPCs

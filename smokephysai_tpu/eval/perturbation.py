@@ -104,12 +104,29 @@ class PerturbationTester:
                 "adversarial_perturbation_norm": float(sq_norm**0.5),
             }
 
-        def recon_neg_mse(delta):
-            adv = jnp.clip(test_data + delta, 0.0, 1.0)
-            out = predict(adv)
-            return -jnp.mean((out["reconstructed"] - test_data) ** 2)
+        # When the predictor exposes its jitted core + params (see
+        # serving.make_predictor), thread the params through the PGD trace
+        # as an argument — differentiating through the closure-based
+        # wrapper would embed them as ~111 MB of StableHLO literals.
+        jitted = getattr(predict, "jitted", None)
+        if jitted is not None:
+            variables = predict.variables
 
-        grad_fn = jax.jit(jax.grad(recon_neg_mse))
+            def recon_neg_mse_v(delta, variables):
+                adv = jnp.clip(test_data + delta, 0.0, 1.0)
+                out = jitted(variables, adv)
+                return -jnp.mean((out["reconstructed"] - test_data) ** 2)
+
+            _grad_v = jax.jit(jax.grad(recon_neg_mse_v))
+            grad_fn = lambda d: _grad_v(d, variables)
+        else:
+
+            def recon_neg_mse(delta):
+                adv = jnp.clip(test_data + delta, 0.0, 1.0)
+                out = predict(adv)
+                return -jnp.mean((out["reconstructed"] - test_data) ** 2)
+
+            grad_fn = jax.jit(jax.grad(recon_neg_mse))
         delta = jnp.zeros_like(test_data)
         for _ in range(num_steps):
             g = grad_fn(delta)

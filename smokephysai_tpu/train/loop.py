@@ -286,26 +286,40 @@ def make_train_epoch(
     With ema_decay > 0 the signature gains an ema_params carry, mirroring
     make_train_step's EMA variant. No reference analog (the reference's
     DataLoader is host-side, data_loader.py:134-143); this is the
-    jit-the-outer-loop move that XLA's compilation model rewards."""
-    from smokephysai_tpu.data.synthetic import epoch_index_arrays
+    jit-the-outer-loop move that XLA's compilation model rewards.
+
+    The dataset's device arrays are threaded through as jit ARGUMENTS
+    (zero-copy — they are already committed device buffers). Closing the
+    traced epoch over them instead embeds the entire dataset as StableHLO
+    literal constants (module bytes ≈ dataset bytes), which stalls remote
+    compilation for tens of minutes shipping a multi-GB module."""
+    from smokephysai_tpu.data.synthetic import (
+        epoch_index_arrays,
+        gather_device_batch,
+    )
 
     _step_impl = _make_step_impl(physics_cfg)
     n, seq_len = len(train_ds), train_ds.sequence_length
+    arrays = train_ds.device_arrays()
+    seq_f16 = train_ds._seq_f16
 
     def _indices(key_epoch):
         return epoch_index_arrays(
             key_epoch, n, batch_size, seq_len, shuffle=True
         )
 
+    def _batch(arrays, ib, fb):
+        return gather_device_batch(*arrays, ib, fb, seq_f16)
+
     if ema_decay:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def train_epoch_ema(state, ema_params, key_epoch):
+        def train_epoch_ema(state, ema_params, key_epoch, arrays):
             def body(carry, ib_fb):
                 st, ema = carry
                 ib, fb = ib_fb
                 st, metrics = _step_impl(
-                    st, train_ds.get_batch(ib, fb), key_epoch
+                    st, _batch(arrays, ib, fb), key_epoch
                 )
                 ema = jax.tree_util.tree_map(
                     lambda e, p: e + (1.0 - ema_decay) * (p - e),
@@ -318,44 +332,57 @@ def make_train_epoch(
             )
             return state, ema_params, metrics
 
-        return train_epoch_ema
+        return lambda state, ema_params, key_epoch: train_epoch_ema(
+            state, ema_params, key_epoch, arrays
+        )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_epoch(
-        state: TrainState, key_epoch: Array
+        state: TrainState, key_epoch: Array, arrays
     ) -> Tuple[TrainState, Dict[str, Array]]:
         def body(st, ib_fb):
             ib, fb = ib_fb
-            return _step_impl(st, train_ds.get_batch(ib, fb), key_epoch)
+            return _step_impl(st, _batch(arrays, ib, fb), key_epoch)
 
         return jax.lax.scan(body, state, _indices(key_epoch))
 
-    return train_epoch
+    return lambda state, key_epoch: train_epoch(state, key_epoch, arrays)
 
 
 def make_eval_epoch(val_ds, physics_cfg: Dict, batch_size: int) -> Callable:
     """Fused validation pass: all full batches in one jitted scan
     (in-order, like the per-batch path). The ragged tail batch, if any,
     is the caller's to run eagerly — fit() does, with the same
-    `epoch_order_frames` draws, so scores match the loop path exactly."""
-    from smokephysai_tpu.data.synthetic import epoch_index_arrays
+    `epoch_order_frames` draws, so scores match the loop path exactly.
+
+    Like make_train_epoch, the dataset's device arrays are jit arguments,
+    not closure constants (see gather_device_batch)."""
+    from smokephysai_tpu.data.synthetic import (
+        epoch_index_arrays,
+        gather_device_batch,
+    )
 
     _eval_impl = _make_eval_impl(physics_cfg)
     n, seq_len = len(val_ds), val_ds.sequence_length
+    arrays = val_ds.device_arrays()
+    seq_f16 = val_ds._seq_f16
 
     @jax.jit
-    def eval_epoch(state: TrainState, key_eval: Array) -> Dict[str, Array]:
+    def eval_epoch(
+        state: TrainState, key_eval: Array, arrays
+    ) -> Dict[str, Array]:
         idx, fidx = epoch_index_arrays(
             key_eval, n, batch_size, seq_len, shuffle=False
         )
 
         def body(_, ib_fb):
             ib, fb = ib_fb
-            return None, _eval_impl(state, val_ds.get_batch(ib, fb), key_eval)
+            batch = gather_device_batch(*arrays, ib, fb, seq_f16)
+            return None, _eval_impl(state, batch, key_eval)
 
         return jax.lax.scan(body, None, (idx, fidx))[1]
 
-    return eval_epoch
+    return lambda state, key_eval: eval_epoch(state, key_eval, arrays)
 
 
 # convenience single-config entry points

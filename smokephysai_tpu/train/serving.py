@@ -105,13 +105,26 @@ def make_predictor(
     model: SmokePhysNet, variables: Dict, chaos_seed: int = 0
 ) -> Callable[[Array], Dict[str, Array]]:
     """Jitted batched forward with a fixed chaos key. Input NHWC
-    [B, H, W, 1] -> dict {reconstructed, physics_features, latent_features}."""
+    [B, H, W, 1] -> dict {reconstructed, physics_features, latent_features}.
+
+    `variables` rides as a jit ARGUMENT (zero-copy device buffers), not a
+    closure constant — closed-over params are embedded in the StableHLO
+    module as literals (111 MB for the flagship net), which a remote
+    compile service must ingest per program. The wrapper exposes
+    ``predict.jitted`` / ``predict.variables`` so gradient-based callers
+    (eval/perturbation.py PGD) can thread the params through their own
+    traces the same way."""
     key = jax.random.PRNGKey(chaos_seed)
 
     @jax.jit
-    def predict(x: Array) -> Dict[str, Array]:
+    def predict_v(variables: Dict, x: Array) -> Dict[str, Array]:
         return model.apply(variables, x, train=False, rngs={"chaos": key})
 
+    def predict(x: Array) -> Dict[str, Array]:
+        return predict_v(variables, x)
+
+    predict.jitted = predict_v
+    predict.variables = variables
     return predict
 
 
@@ -207,11 +220,13 @@ def make_pipelined_predictor(
         return x
 
     @jax.jit
-    def predict(x: Array) -> Dict[str, Array]:
-        # microbatch count must divide the (trace-time static) batch; more
-        # microbatches -> less pipeline bubble, so default to the largest
-        # divisor of B up to num_stages (with dp x pp, each microbatch is
-        # additionally split over data_axis, so B/M must divide by its size)
+    def predict_v(variables: Dict, stacked, x: Array) -> Dict[str, Array]:
+        # params ride as jit arguments, not closure constants — see
+        # make_predictor. microbatch count must divide the (trace-time
+        # static) batch; more microbatches -> less pipeline bubble, so
+        # default to the largest divisor of B up to num_stages (with
+        # dp x pp, each microbatch is additionally split over data_axis,
+        # so B/M must divide by its size)
         dsize = mesh.shape[data_axis] if data_axis else 1
         M = num_microbatches or max(
             m for m in range(1, num_stages + 1)
@@ -227,4 +242,4 @@ def make_pipelined_predictor(
             method="decode",
         )
 
-    return predict
+    return lambda x: predict_v(variables, stacked, x)

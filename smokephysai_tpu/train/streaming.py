@@ -45,7 +45,12 @@ def make_streaming_step(
     chaos_key = jax.random.PRNGKey(chaos_seed)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def stream_step(state: SimState) -> Tuple[SimState, Dict[str, Array]]:
+    def stream_step(
+        state: SimState, variables: Dict
+    ) -> Tuple[SimState, Dict[str, Array]]:
+        # variables ride as a jit argument, not a closure constant — see
+        # serving.make_predictor (closure params embed ~111 MB of literals
+        # in the module, which a remote compile service must ingest)
         state = solver.step(
             state,
             dt=dt,
@@ -69,7 +74,7 @@ def make_streaming_step(
             result["reconstructed"] = out["reconstructed"][0, :, :, 0]
         return state, result
 
-    return stream_step
+    return lambda state: stream_step(state, variables)
 
 
 def streaming_rollout(
@@ -84,7 +89,29 @@ def streaming_rollout(
     chaos_seed: int = 0,
 ) -> Tuple[SimState, Dict[str, Array]]:
     """Scan `num_frames` fused sim+predict steps in ONE compiled program;
-    host sees only the stacked per-frame physics features (and frames)."""
+    host sees only the stacked per-frame physics features (and frames).
+
+    Jitted here at module level with `variables` as an argument — callers
+    must NOT wrap it in their own jit-over-a-closure (that re-embeds the
+    ~111 MB of params as module literals; see serving.make_predictor)."""
+    return _rollout_impl(
+        variables, state, model=model, num_frames=num_frames, dt=dt,
+        viscosity=viscosity, num_jacobi_iters=num_jacobi_iters,
+        use_pallas=use_pallas, chaos_seed=chaos_seed,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "num_frames", "dt", "viscosity", "num_jacobi_iters",
+        "use_pallas", "chaos_seed",
+    ),
+)
+def _rollout_impl(
+    variables, state, *, model, num_frames, dt, viscosity,
+    num_jacobi_iters, use_pallas, chaos_seed,
+):
     chaos_key = jax.random.PRNGKey(chaos_seed)
     grid = state.density.shape
     fractal = jnp.asarray(fractal_field(grid))
@@ -156,7 +183,9 @@ def streaming_rollout_sharded(
     fractal = jax.device_put(fractal, row)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def roll(s):
+    def roll(s, variables):
+        # variables as a jit argument, not a closure constant (see
+        # serving.make_predictor)
         def body(s, _):
             s = sharded_step(
                 s, mesh, dt=dt, viscosity=viscosity,
@@ -175,4 +204,4 @@ def streaming_rollout_sharded(
 
         return lax.scan(body, s, None, length=num_frames)
 
-    return roll(state)
+    return roll(state, variables)

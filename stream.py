@@ -30,6 +30,9 @@ import time
 
 
 def main() -> None:
+    from smokephysai_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description="SmokePhysAI-TPU streaming")
     parser.add_argument("--config", type=str, default="config/config_streaming_1024.yaml")
     parser.add_argument("--checkpoint", type=str, default=None,

@@ -11,6 +11,9 @@ from datetime import datetime
 
 
 def main():
+    from smokephysai_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description="SmokePhysAI-TPU Training")
     parser.add_argument(
         "--config", type=str, default="config/config.yaml",
