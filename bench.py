@@ -526,6 +526,16 @@ def main():
             if fast_mfu:
                 extra["train_mfu_bf16_flash_fast"] = round(fast_mfu, 3)
             _emit()
+            # batch-32 scaling: the parity recipe's batch 8 under-fills the
+            # MXU (per-step latency is memory/dispatch-bound); batch 32
+            # shows the chip's training-throughput ceiling per step
+            b32_ms, b32_mfu = bench_train_step(
+                "bfloat16", use_flash=True, fast_math=True, batch=32
+            )
+            extra["train_step_ms_bf16_flash_fast_b32"] = round(b32_ms, 2)
+            if b32_mfu:
+                extra["train_mfu_bf16_flash_fast_b32"] = round(b32_mfu, 3)
+            _emit()
             # real-epoch wall time (what fit() pays: gathers + dispatch per
             # batch) vs the fused whole-epoch program (tpu.fused_epoch)
             _mark("train epoch loop vs fused")

@@ -104,3 +104,34 @@ class TestProfilingFlops:
 
         u = mfu(1e12)
         assert u is None or 0 < u < 1
+
+
+class TestCompileCache:
+    def test_sync_cache_copies_missing_only(self, tmp_path):
+        import os
+
+        from smokephysai_tpu.utils.compile_cache import sync_cache
+
+        src, dst = tmp_path / "src", tmp_path / "dst"
+        src.mkdir()
+        (src / "a").write_text("entry-a")
+        (src / "b").write_text("entry-b")
+        dst.mkdir()
+        (dst / "b").write_text("existing-b-keep")
+        sync_cache(str(src), str(dst))
+        assert (dst / "a").read_text() == "entry-a"
+        assert (dst / "b").read_text() == "existing-b-keep"  # not clobbered
+        # missing src dir is a no-op, not an error
+        sync_cache(str(tmp_path / "nope"), str(dst))
+        assert sorted(os.listdir(dst)) == ["a", "b"]
+
+    def test_enable_compile_cache_sets_jax_config(self):
+        import jax
+
+        from smokephysai_tpu.utils.compile_cache import (
+            CACHE_DIRS,
+            enable_compile_cache,
+        )
+
+        enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == CACHE_DIRS[0]
