@@ -72,11 +72,19 @@ def restore_checkpoint(path: str, state) -> Tuple[Any, Dict[str, Any]]:
         epoch=restored["epoch"],
     )
 
-    meta_path = os.path.join(exp_dir, META_NAME)
+    # Match save_checkpoint's naming: best_model pairs with meta.json,
+    # any other name (e.g. last_model) pairs with <name>_meta.json. Without
+    # this, resuming from last_model would silently read best_model's meta
+    # (wrong epoch/val_loss) and re-run already-completed epochs.
+    name = os.path.basename(path)
+    meta_name = META_NAME if name == CKPT_NAME else f"{name}_meta.json"
     meta: Dict[str, Any] = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    for candidate in (meta_name, META_NAME):
+        meta_path = os.path.join(exp_dir, candidate)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            break
     return state, meta
 
 

@@ -11,6 +11,7 @@ it, train.py:186-187).
 from __future__ import annotations
 
 import functools
+import math
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -278,8 +279,7 @@ def make_train_epoch(
     permutation + frame draws (`epoch_index_arrays`, bit-identical batch
     composition to the loop path), every batch gather (`ds.get_batch`, pure
     jnp on the on-device path) and every train step into ONE jitted
-    `lax.scan` — a single dispatch per epoch. Dataset arrays are closure
-    constants (jaxpr constvars lower to executable parameters, not copies).
+    `lax.scan` — a single dispatch per epoch.
 
     Returns ``(state, key_epoch) -> (state, metrics)`` with metrics stacked
     per step ([num_batches] leaves), so TB per-50-batch logging survives.
@@ -474,8 +474,8 @@ def fit(
     fused = (
         bool(tpu_cfg.get("fused_epoch", False))
         and mesh is None
-        and getattr(train_ds, "_on_device", True)
-        and getattr(val_ds, "_on_device", True)
+        and getattr(train_ds, "_on_device", False)
+        and getattr(val_ds, "_on_device", False)
         and len(train_ds) >= batch_size
     )
     if fused:
@@ -586,10 +586,18 @@ def fit(
             )
 
     final_state = state.replace(params=ema_params) if ema_decay else state
+    # Honest meta even when the epoch loop never ran (e.g. resume at the
+    # final epoch): epoch = last epoch actually in the state, and never
+    # serialize float('inf') — json.dumps would emit `Infinity`, which
+    # strict JSON parsers reject.
     save_checkpoint(
         exp_dir,
         final_state,
-        {"epoch": tc["num_epochs"] - 1, "val_loss": val_loss, "config": config},
+        {
+            "epoch": int(state.epoch),
+            "val_loss": val_loss if math.isfinite(val_loss) else None,
+            "config": config,
+        },
         name=LAST_NAME,
     )
     return final_state

@@ -228,10 +228,18 @@ def make_pipelined_predictor(
         # dp x pp, each microbatch is additionally split over data_axis,
         # so B/M must divide by its size)
         dsize = mesh.shape[data_axis] if data_axis else 1
-        M = num_microbatches or max(
+        valid_m = [
             m for m in range(1, num_stages + 1)
             if x.shape[0] % m == 0 and (x.shape[0] // m) % dsize == 0
-        )
+        ]
+        if not valid_m:
+            raise ValueError(
+                f"batch {x.shape[0]} admits no microbatch count m in "
+                f"1..{num_stages} with (batch/m) divisible by "
+                f"{data_axis}={dsize}; pad the batch or pass "
+                f"num_microbatches explicitly"
+            )
+        M = num_microbatches or max(valid_m)
         feats = model.apply(variables, x, False, method="encode")
         feats = pipeline_apply(
             stacked, feats, stage_fn, mesh, M, axis_name,

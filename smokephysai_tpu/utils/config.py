@@ -59,8 +59,9 @@ DEFAULTS: Dict[str, Any] = {
         # state + loss (params are stored f32 and cast at use, layers.py)
         "fused_epoch": False,  # run each train epoch (and val pass) as ONE
         # jitted lax.scan over the on-device dataset — removes the ~30 ms/step
-        # tunnel dispatch floor (train/loop.py make_train_epoch). Single-chip,
-        # device-resident datasets, no EMA; otherwise falls back to the loop.
+        # tunnel dispatch floor (train/loop.py make_train_epoch). Single-chip
+        # + device-resident datasets only; otherwise falls back to the loop.
+        # Composes with training.ema_decay (the EMA carry rides in the scan).
         "use_flash": False,   # Pallas flash attention on the serving path
         "fast_math": False,   # bf16 residual stream in the trunk (serving)
         "fast_encoder": False,  # pool oversize frames to input_dim^2 BEFORE

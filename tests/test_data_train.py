@@ -1,5 +1,6 @@
 """Data pipeline + training loop tests (reference semantics:
 data_loader.py sampling, train.py loss/optimiser; SURVEY.md §4)."""
+import copy
 import os
 
 import jax
@@ -481,6 +482,50 @@ class TestTraining:
             restored.params,
         )
         assert int(restored.step) == 1
+
+    def test_last_model_meta_pairing(self, tiny_ds, tmp_path):
+        """restore_checkpoint on a last_model path must read
+        last_model_meta.json (save_checkpoint's pairing), NOT the best-val
+        meta.json — otherwise a phase-2 --resume from last_model restarts
+        at the best epoch and re-runs completed epochs."""
+        from smokephysai_tpu.train.checkpoint import LAST_NAME
+
+        state = create_train_state(
+            TINY_CONFIG, jax.random.PRNGKey(0), steps_per_epoch=3
+        )
+        save_checkpoint(str(tmp_path), state, {"epoch": 3, "val_loss": 1.0})
+        save_checkpoint(
+            str(tmp_path), state, {"epoch": 9, "val_loss": 2.0},
+            name=LAST_NAME,
+        )
+        _, meta_best = restore_checkpoint(str(tmp_path), state)
+        _, meta_last = restore_checkpoint(
+            str(tmp_path / LAST_NAME), state
+        )
+        assert meta_best["epoch"] == 3
+        assert meta_last["epoch"] == 9
+
+    def test_fused_epoch_gate_host_dataset_falls_back(self, tmp_path,
+                                                      capsys):
+        """tpu.fused_epoch on a dataset WITHOUT the _on_device marker
+        (e.g. the 3D dataset) must fall back to the per-batch loop, not
+        crash on device_arrays()."""
+        from smokephysai_tpu.train.loop import fit
+
+        ds = SyntheticSmokeDataset(
+            num_samples=3, grid_size=(64, 64), sequence_length=20, seed=0
+        )
+        assert ds._on_device  # device-resident at this size
+        ds_host = copy.copy(ds)
+        del ds_host._on_device  # simulate a dataset lacking the marker
+        config = {
+            **TINY_CONFIG,
+            "training": {**TINY_CONFIG["training"], "num_epochs": 1},
+            "tpu": {**TINY_CONFIG.get("tpu", {}), "fused_epoch": True},
+        }
+        fit(config, ds_host, ds_host, str(tmp_path), writer=None)
+        out = capsys.readouterr().out
+        assert "Fused-epoch training" not in out
 
 
 class TestMetrics:
