@@ -384,9 +384,19 @@ def _init_watchdog(timeout_s: int) -> None:
     done.set()
 
 
+# Priority order (VERDICT r4 #1): cheap solver compiles first, the headline
+# second, then batch64 serving IMMEDIATELY after inference — its compile
+# footprint overlaps the inference section and it was the one section the
+# driver timeout ate in r3 AND r4. Slow train/streaming compiles go last.
 SECTIONS = (
-    "sim", "inference", "sim_compute", "sim3d", "train", "streaming", "batch64"
+    "sim", "inference", "batch64", "sim_compute", "sim3d", "train", "streaming"
 )
+
+_T0 = time.perf_counter()
+
+
+def _budget_left(budget_s: float) -> float:
+    return budget_s - (time.perf_counter() - _T0)
 
 
 def main():
@@ -405,12 +415,38 @@ def main():
     if unknown:
         ap.error(f"unknown sections {sorted(unknown)}; valid: {SECTIONS}")
 
+    # Soft wall-clock budget: the driver kills bench.py with rc=124 at its
+    # timeout (~30 min; did so in r3 AND r4). Exiting 0 with everything
+    # measured so far beats being killed mid-section, so before each section
+    # we stop if less than its historical cost remains (r4 _mark deltas,
+    # warm-ish cache). Override with BENCH_BUDGET_S.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1440"))
+    # conservative per-section cost estimates (s), from r4 section marks
+    section_cost = {
+        "sim": 90, "inference": 120, "batch64": 240, "sim_compute": 150,
+        "sim3d": 240, "train": 420, "streaming": 300,
+    }
+
+    def over_budget(name):
+        left = _budget_left(budget_s)
+        if left < section_cost.get(name, 120):
+            extra.setdefault("skipped_budget", []).append(name)
+            _mark(f"SKIP {name} (budget: {left:.0f}s left)")
+            return True
+        return False
+
     _enable_compile_cache()  # config must precede backend init
     _init_watchdog(int(os.environ.get("BENCH_INIT_TIMEOUT_S", "900")))
     extra = RESULT["extra"]
+    sec_t = extra.setdefault("section_s", {})
+
+    def _done(name, t0):
+        sec_t[name] = round(time.perf_counter() - t0, 1)
+
     # cheapest compiles first (solver scans), headline second — so even a
     # cold-cache run killed early leaves real measurements behind
-    if "sim" in picked:
+    if "sim" in picked and not over_budget("sim"):
+        t_sec = time.perf_counter()
         try:
             _mark("sim xla")
             extra["sim_steps_per_sec_256_xla"] = round(bench_sim(use_pallas=False), 1)
@@ -422,8 +458,10 @@ def main():
             extra["sim_steps_per_sec_256_pallas"] = round(bench_sim(use_pallas=True), 1)
         except Exception as e:  # pragma: no cover
             extra["sim_pallas_error"] = str(e)[:200]
+        _done("sim", t_sec)
         _emit()
-    if "inference" in picked:
+    if "inference" in picked and not over_budget("inference"):
+        t_sec = time.perf_counter()
         try:
             _mark("inference f32")
             pipelined_ms, p50_sync_ms = bench_inference()
@@ -439,8 +477,92 @@ def main():
             extra["frame_inference_ms_bf16"] = round(bf16_pipe, 3)
         except Exception as e:  # pragma: no cover
             extra["bf16_error"] = str(e)[:200]
+        _done("inference", t_sec)
         _emit()
-    if "sim_compute" in picked:
+    if "batch64" in picked and not over_budget("batch64"):
+        t_sec = time.perf_counter()
+        try:
+            # serving throughput at batch 64, pipelined (device throughput with
+            # per-call dispatch amortised — the tunnel adds ~25 ms per synced
+            # call, which a real serving queue never pays). Three variants:
+            # einsum parity path, Pallas token-major flash attention, and
+            # flash + fast_math (bf16 residual stream + tanh GELU).
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            from smokephysai_tpu.train.serving import build_model, make_predictor
+
+            def batch64_build(use_flash, fast_math):
+                cfg = {
+                    "model": {
+                        "input_dim": 128, "hidden_dim": 512, "num_layers": 6,
+                        "num_heads": 8, "output_channels": 64,
+                        "chaos_strength": 0.1,
+                    },
+                    "tpu": {
+                        "compute_dtype": "bfloat16", "use_flash": use_flash,
+                        "fast_math": fast_math,
+                    },
+                }
+                m = build_model(cfg)
+                xb = _jnp.zeros((64, 128, 128, 1), _jnp.float32)
+                vs = m.init(
+                    {"params": _jax.random.PRNGKey(0),
+                     "chaos": _jax.random.PRNGKey(1)},
+                    xb, train=False,
+                )
+                return m, vs, xb
+
+            def batch64_fps(m, vs, xb):
+                pred = make_predictor(m, vs)
+                float(pred(xb)["reconstructed"].sum())  # warm + readback
+                reps = 30
+                best = 0.0
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    outs = [pred(xb)["reconstructed"] for _ in range(reps)]
+                    float(outs[-1].sum())  # scalar readback (tunnel-safe sync)
+                    best = max(best, reps * 64.0 / (time.perf_counter() - t0))
+                return best
+
+            _mark("batch64")
+            m_e, vs_e, xb = batch64_build(False, False)
+            extra["throughput_fps_batch64_bf16"] = round(
+                batch64_fps(m_e, vs_e, xb), 1
+            )
+            _emit()
+            extra["throughput_fps_batch64_bf16_flash"] = round(
+                batch64_fps(*batch64_build(True, False)), 1
+            )
+            _emit()
+            fast_fps = batch64_fps(*batch64_build(True, True))
+            extra["throughput_fps_batch64_bf16_flash_fast"] = round(fast_fps, 1)
+            _emit()
+            # honest MFU: XLA's own FLOP count for the einsum-attention
+            # forward (the flash kernel's FLOPs aren't in cost_analysis, so
+            # this slightly undercounts the fast path's actual work).
+            # CRITICAL: variables go in as ARGUMENTS — the r4 version closed
+            # over them, embedding ~111 MB of param literals in the lowered
+            # module, and the remote compile stall at exactly this point is
+            # the most likely cause of the r4 rc=124 (CLAUDE.md closure-
+            # constant trap).
+            from smokephysai_tpu.utils.profiling import flops_estimate, mfu
+
+            key = _jax.random.PRNGKey(0)
+            fl = flops_estimate(
+                lambda v, x: m_e.apply(v, x, train=False, rngs={"chaos": key}),
+                vs_e, xb,
+            )
+            if fl:
+                u = mfu(fl / 64.0 * fast_fps)
+                if u:
+                    extra["mfu_batch64_flash_fast"] = round(u, 3)
+        except Exception as e:  # pragma: no cover
+            extra["batch64_error"] = str(e)[:200]
+        _done("batch64", t_sec)
+        _emit()
+    if "sim_compute" in picked and not over_budget("sim_compute"):
+        t_sec = time.perf_counter()
         try:
             _mark("sim compute")
             extra["sim_compute_steps_per_sec_256_xla"] = round(
@@ -452,8 +574,10 @@ def main():
             )
         except Exception as e:  # pragma: no cover
             extra["sim_compute_error"] = str(e)[:200]
+        _done("sim_compute", t_sec)
         _emit()
-    if "sim3d" in picked:
+    if "sim3d" in picked and not over_budget("sim3d"):
+        t_sec = time.perf_counter()
         try:
             # 128^3 volumetric sim rate (BASELINE configs[3]); tent-shift
             # advection default — the trilinear gather ran at 1.76 steps/s
@@ -503,8 +627,10 @@ def main():
 
         except Exception as e:  # pragma: no cover
             extra["sim3d_error"] = str(e)[:200]
+        _done("sim3d", t_sec)
         _emit()
-    if "train" in picked:
+    if "train" in picked and not over_budget("train"):
+        t_sec = time.perf_counter()
         try:
             # training-step throughput (the path that produced every committed
             # checkpoint): f32 parity recipe vs the bf16 mixed-precision path
@@ -548,8 +674,10 @@ def main():
             )
         except Exception as e:  # pragma: no cover
             extra["train_step_error"] = str(e)[:200]
+        _done("train", t_sec)
         _emit()
-    if "streaming" in picked:
+    if "streaming" in picked and not over_budget("streaming"):
+        t_sec = time.perf_counter()
         try:
             _mark("streaming")
             extra["streaming_fps_1024"] = round(bench_streaming(), 1)
@@ -566,84 +694,10 @@ def main():
             )
         except Exception as e:  # pragma: no cover
             extra["streaming_error"] = str(e)[:200]
+        _done("streaming", t_sec)
         _emit()
-    if "batch64" in picked:
-        try:
-            # serving throughput at batch 64, pipelined (device throughput with
-            # per-call dispatch amortised — the tunnel adds ~25 ms per synced
-            # call, which a real serving queue never pays). Three variants:
-            # einsum parity path, Pallas token-major flash attention, and
-            # flash + fast_math (bf16 residual stream + tanh GELU).
-            import jax as _jax
-            import jax.numpy as _jnp
 
-            from smokephysai_tpu.train.serving import build_model, make_predictor
-
-            def batch64_fps(use_flash, fast_math):
-                cfg = {
-                    "model": {
-                        "input_dim": 128, "hidden_dim": 512, "num_layers": 6,
-                        "num_heads": 8, "output_channels": 64,
-                        "chaos_strength": 0.1,
-                    },
-                    "tpu": {
-                        "compute_dtype": "bfloat16", "use_flash": use_flash,
-                        "fast_math": fast_math,
-                    },
-                }
-                m = build_model(cfg)
-                xb = _jnp.zeros((64, 128, 128, 1), _jnp.float32)
-                vs = m.init(
-                    {"params": _jax.random.PRNGKey(0),
-                     "chaos": _jax.random.PRNGKey(1)},
-                    xb, train=False,
-                )
-                pred = make_predictor(m, vs)
-                float(pred(xb)["reconstructed"].sum())  # warm + readback
-                reps = 30
-                t0 = time.perf_counter()
-                outs = [pred(xb)["reconstructed"] for _ in range(reps)]
-                float(outs[-1].sum())  # scalar readback (tunnel-safe sync)
-                return reps * 64.0 / (time.perf_counter() - t0)
-
-            _mark("batch64")
-            extra["throughput_fps_batch64_bf16"] = round(batch64_fps(False, False), 1)
-            _emit()
-            extra["throughput_fps_batch64_bf16_flash"] = round(
-                batch64_fps(True, False), 1
-            )
-            _emit()
-            fast_fps = batch64_fps(True, True)
-            extra["throughput_fps_batch64_bf16_flash_fast"] = round(fast_fps, 1)
-            _emit()
-            # honest MFU: XLA's own FLOP count for the einsum-attention forward
-            # (the flash kernel's FLOPs aren't in cost_analysis, so this is a
-            # slight undercount of work actually done on the fast path)
-            from smokephysai_tpu.utils.profiling import flops_estimate, mfu
-
-            m = build_model({
-                "model": {
-                    "input_dim": 128, "hidden_dim": 512, "num_layers": 6,
-                    "num_heads": 8, "output_channels": 64, "chaos_strength": 0.1,
-                },
-                "tpu": {"compute_dtype": "bfloat16"},
-            })
-            xb = _jnp.zeros((64, 128, 128, 1), _jnp.float32)
-            vs = m.init(
-                {"params": _jax.random.PRNGKey(0), "chaos": _jax.random.PRNGKey(1)},
-                xb, train=False,
-            )
-            key = _jax.random.PRNGKey(0)
-            fl = flops_estimate(
-                lambda x: m.apply(vs, x, train=False, rngs={"chaos": key}), xb
-            )
-            if fl:
-                u = mfu(fl / 64.0 * fast_fps)
-                if u:
-                    extra["mfu_batch64_flash_fast"] = round(u, 3)
-        except Exception as e:  # pragma: no cover
-            extra["batch64_error"] = str(e)[:200]
-
+    extra["total_s"] = round(time.perf_counter() - _T0, 1)
     _emit()
 
 
