@@ -31,6 +31,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import checkify
 
 from .state import SimState
 
@@ -185,8 +186,11 @@ def advect(
     shift decomposition), exact vs the reference for backtrace displacements
     under `max_disp` cells. Measured buoyancy-driven sims peak around
     |vel| ~ 0.06 => displacements ~6e-4 cells at dt=0.01, so the default
-    max_disp=2 has >3000x headroom; raise it (or set 0 for the general
-    gather path) for exotic velocity scales.
+    max_disp=2 has >3000x headroom. The envelope is GUARDED: a
+    `checkify.debug_check` fires when max|dt*vel| >= max_disp (run the step
+    under `utils.debug.checked` / checkify user_checks to arm it; free
+    otherwise — XLA dead-code-eliminates the unused reduction). On a guard
+    hit, raise max_disp or set 0 for the general gather path.
     """
     h, w = field.shape
 
@@ -203,6 +207,14 @@ def advect(
     x_c = lax.broadcasted_iota(field.dtype, (h, w), 1)
     u_i = _centered_u(u, h, w)
     v_i = _centered_v(v, h, w)
+    disp = jnp.maximum(jnp.max(jnp.abs(dt * u_i)), jnp.max(jnp.abs(dt * v_i)))
+    checkify.debug_check(
+        disp < max_disp,
+        "tent-shift advection displacement {d} cells >= max_disp="
+        f"{max_disp} — result is INEXACT vs the bilinear gather; raise "
+        "max_disp or set max_disp=0 (general gather path)",
+        d=disp,
+    )
     prev_x = jnp.clip(x_c - dt * u_i, 0, w - 1)
     prev_y = jnp.clip(y_c - dt * v_i, 0, h - 1)
     return bilinear_shift_sample(field, prev_y, prev_x, max_disp)

@@ -20,6 +20,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import checkify
 from flax import struct
 
 Array = jnp.ndarray
@@ -167,7 +168,10 @@ def advect3d(
 
     Default path is gather-free (tent shift decomposition, exact for
     displacements < `max_disp` cells; measured 3D sims peak ~6e-4 cells at
-    dt=0.01, so max_disp=1 has >1000x headroom). Set max_disp=0 for the
+    dt=0.01, so max_disp=1 has >1000x headroom). The envelope is GUARDED:
+    a `checkify.debug_check` fires when max|dt*vel| >= max_disp (arm via
+    checkify user_checks, e.g. `utils.debug.checked`; free under plain jit
+    — the unused reduction is dead-code-eliminated). Set max_disp=0 for the
     general trilinear-gather path."""
     d, h, w = field.shape
     zg = lax.broadcasted_iota(field.dtype, (d, h, w), 0)
@@ -177,6 +181,20 @@ def advect3d(
     py = jnp.clip(yg - dt * vc, 0, h - 1)
     px = jnp.clip(xg - dt * uc, 0, w - 1)
     if max_disp > 0:
+        disp = jnp.max(
+            jnp.stack([
+                jnp.max(jnp.abs(dt * uc)),
+                jnp.max(jnp.abs(dt * vc)),
+                jnp.max(jnp.abs(dt * wc)),
+            ])
+        )
+        checkify.debug_check(
+            disp < max_disp,
+            "tent-shift 3D advection displacement {d} cells >= max_disp="
+            f"{max_disp} — result is INEXACT vs the trilinear gather; "
+            "raise max_disp or set max_disp=0 (general gather path)",
+            d=disp,
+        )
         return trilinear_shift_sample(field, pz, py, px, max_disp)
     return trilinear_interpolate(field, pz, py, px)
 

@@ -200,3 +200,35 @@ class TestMultigridPressure:
         d_cg = float(jnp.abs(divergence3d(s_cg, 0.01)).max())
         d_mg = float(jnp.abs(divergence3d(s_mg, 0.01)).max())
         assert d_mg <= d_cg * 1.5 + 1e-6, (d_mg, d_cg)
+
+
+def test_displacement_guard3d_fires_and_is_silent_in_regime():
+    """advect3d's tent-shift envelope monitor (checkify.debug_check): fires
+    for displacements >= max_disp, silent on a real small-velocity step."""
+    import pytest
+    from jax.experimental import checkify
+
+    from smokephysai_tpu.physics.solver3d import advect3d
+
+    n = 16
+    field = jnp.ones((n, n, n))
+    big = jnp.full((n, n, n), 300.0)  # dt*|vel| = 3 cells >= max_disp=1
+    zero = jnp.zeros((n, n, n))
+    cf = checkify.checkify(
+        jax.jit(lambda f, u: advect3d(f, u, zero, zero, 0.01, max_disp=1)),
+        errors=checkify.user_checks,
+    )
+    err, _ = cf(field, big)
+    with pytest.raises(Exception, match="max_disp"):
+        err.throw()
+
+    s0 = init_state3d((n, n, n))
+    s0 = s0.replace(
+        density=add_smoke_source3d(s0.density, 8.0, 8.0, 4.0, 3.0, 1.5)
+    )
+    cstep = checkify.checkify(
+        jax.jit(lambda s: multi_step3d(s, 3)[0]), errors=checkify.user_checks
+    )
+    err, out = cstep(s0)
+    assert err.get() is None
+    assert bool(jnp.isfinite(out.density).all())
