@@ -53,6 +53,23 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     )
 
 
+def shard_train_state(state: Any, mesh: Mesh) -> Any:
+    """device_put an entire TrainState onto `mesh`: params get TP specs,
+    optimizer moments (mu/nu mirror the param tree, so `_spec_for`'s
+    last-two-path-names rule matches them identically) get the SAME specs —
+    a per-chip memory win under TP — and scalars/batch_stats replicate.
+
+    Needed for sharded checkpoint restore: orbax restores every leaf with
+    the template's committed sharding, and a template with mesh-committed
+    params but single-device-committed opt_state/step is rejected by jit
+    ('incompatible devices'). Mapping the whole state through one mesh
+    keeps every leaf consistent."""
+    specs = jax.tree_util.tree_map_with_path(_spec_for, state)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
+    )
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-dim data sharding for batch arrays."""
     return NamedSharding(mesh, P("data"))
