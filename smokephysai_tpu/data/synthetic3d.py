@@ -57,6 +57,8 @@ class SyntheticSmokeDataset3D:
     """Volume episodes: input/target are consecutive [D,H,W] volumes plus
     the episode-averaged chaos label (same sampling semantics as 2D)."""
 
+    DEVICE_BYTES_LIMIT = 4_000_000_000  # same policy as the 2D dataset
+
     def __init__(
         self,
         num_samples: int = 32,
@@ -108,7 +110,17 @@ class SyntheticSmokeDataset3D:
                 os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
                 np.savez(cache_path, sequences=seqs, chaos=chaos)
 
-        self._sequences = jnp.asarray(seqs)
+        # f16 device storage beyond the f32 comfort limit (mirrors the 2D
+        # dataset's policy, synthetic.py: the r4 on-device data path): a
+        # 128^3 x T13 episode is ~109 MB f32, so the r4 quality ceiling was
+        # ~32 episodes; f16 halves that to ~54 MB, letting the 3D quality
+        # recipe scale data 2x (VERDICT r4 next #3, the proven 2D lever).
+        # Batch gathers cast back to f32 — step numerics see only frame
+        # quantisation (~6e-4 absolute on O(1) densities).
+        self._seq_f16 = seqs.nbytes >= self.DEVICE_BYTES_LIMIT
+        self._sequences = jnp.asarray(
+            seqs, jnp.float16 if self._seq_f16 else None
+        )
         self._chaos = jnp.asarray(chaos)
 
     def __len__(self) -> int:
@@ -116,6 +128,8 @@ class SyntheticSmokeDataset3D:
 
     def get_batch(self, idx: Array, frames: Array) -> Dict[str, Array]:
         seqs = self._sequences[idx]  # [B, T, D, H, W]
+        if self._seq_f16:
+            seqs = seqs.astype(jnp.float32)
         inp = jnp.take_along_axis(
             seqs, frames[:, None, None, None, None], axis=1
         )[:, 0, ..., None]

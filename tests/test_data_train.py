@@ -597,3 +597,47 @@ def test_host_resident_prefetch_batches_identical(monkeypatch):
     for a, b in zip(pre, sync):
         for k in ("input", "target", "chaos_features", "continuity"):
             np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+class TestNoiseAugmentation:
+    """training.noise_std: opt-in Gaussian INPUT noise (denoising
+    augmentation; no reference analog — train.py trains clean)."""
+
+    def test_noise_changes_metrics_but_not_targets(self, tiny_ds):
+        state0 = create_train_state(
+            TINY_CONFIG, jax.random.PRNGKey(0), steps_per_epoch=3
+        )
+        batch = tiny_ds.sample_batch(jax.random.PRNGKey(5), 2)
+        key = jax.random.PRNGKey(6)
+        clean = make_train_step(TINY_CONFIG["physics"])
+        noisy = make_train_step(TINY_CONFIG["physics"], noise_std=0.5)
+
+        _, m_clean = clean(
+            jax.tree_util.tree_map(jnp.copy, state0), batch, key
+        )
+        _, m_noisy = noisy(
+            jax.tree_util.tree_map(jnp.copy, state0), batch, key
+        )
+        # noise perturbs the forward -> different loss
+        assert float(m_clean["total_loss"]) != float(m_noisy["total_loss"])
+        # noise_std=0.0 is exactly the old step (default path unchanged)
+        default = make_train_step(TINY_CONFIG["physics"], noise_std=0.0)
+        _, m_default = default(
+            jax.tree_util.tree_map(jnp.copy, state0), batch, key
+        )
+        np.testing.assert_allclose(
+            float(m_default["total_loss"]), float(m_clean["total_loss"]),
+            rtol=1e-6,
+        )
+
+    def test_noisy_training_reduces_loss(self, tiny_ds):
+        state = create_train_state(
+            TINY_CONFIG, jax.random.PRNGKey(0), steps_per_epoch=3
+        )
+        tstep = make_train_step(TINY_CONFIG["physics"], noise_std=0.02)
+        batch = tiny_ds.sample_batch(jax.random.PRNGKey(5), 2)
+        losses = []
+        for i in range(8):
+            state, m = tstep(state, batch, jax.random.fold_in(jax.random.PRNGKey(6), i))
+            losses.append(float(m["total_loss"]))
+        assert losses[-1] < losses[0]

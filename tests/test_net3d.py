@@ -238,3 +238,31 @@ def test_3d_quality_protocol(tmp_path):
     assert np.isfinite(report["reconstruction"]["ssim"])
     assert 0.0 < report["physics_perturbation"][
         "physics_prediction_stability"] <= 1.0
+
+
+def test_3d_dataset_f16_device_storage(monkeypatch):
+    """Past DEVICE_BYTES_LIMIT the 3D dataset stores sequences as f16 and
+    batch gathers cast back to f32 (the 2x data-scaling lever for the 3D
+    quality recipe, mirroring the 2D dataset's policy)."""
+    from smokephysai_tpu.data.synthetic3d import SyntheticSmokeDataset3D
+
+    ds32 = SyntheticSmokeDataset3D(
+        num_samples=2, grid_size=(16, 16, 16), sequence_length=12, seed=3
+    )
+    monkeypatch.setattr(SyntheticSmokeDataset3D, "DEVICE_BYTES_LIMIT", 1)
+    ds16 = SyntheticSmokeDataset3D(
+        num_samples=2, grid_size=(16, 16, 16), sequence_length=12, seed=3
+    )
+    assert not ds32._seq_f16 and ds16._seq_f16
+    assert ds16._sequences.dtype == jnp.float16
+
+    b32 = ds32.sample_batch(jax.random.PRNGKey(0), 2)
+    b16 = ds16.sample_batch(jax.random.PRNGKey(0), 2)
+    for k in ("input", "target", "sequence"):
+        assert b16[k].dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(b16[k]), np.asarray(b32[k]), atol=1e-3
+        )
+    np.testing.assert_array_equal(
+        np.asarray(b16["chaos_features"]), np.asarray(b32["chaos_features"])
+    )
