@@ -194,15 +194,19 @@ def bench_streaming(
 
 def bench_train_step(
     train_dtype="float32", use_flash=False, fast_math=False,
-    batch=8, grid=128,
+    batch=8, grid=128, flops_override=None,
 ):
     """Training-step device time (ms) + MFU at the reference recipe's shape
     (batch 8, 128^2 — reference train.py:41-127). Slope timing over chained
     donated steps (60 vs 10 reps) cancels the ~25 ms tunnel dispatch that a
-    real epoch loop never pays back-to-back. MFU uses XLA's own FLOP count
-    for the whole fwd+bwd+AdamW program (the flash kernels' FLOPs aren't in
-    cost_analysis, so flash variants undercount actual work). Returns
-    (ms_per_step, mfu_or_None)."""
+    real epoch loop never pays back-to-back.
+
+    MFU numerator: XLA's FLOP count for the whole fwd+bwd+AdamW program.
+    Pallas kernel FLOPs are INVISIBLE to cost_analysis, so a flash-path
+    program undercounts the work actually done; callers pass the einsum-
+    path program's count as `flops_override` (same mathematical work, all
+    of it visible) to make flash-variant MFU honest rather than deflated.
+    Returns (ms_per_step, mfu_or_None, flops_or_None)."""
     import jax
 
     from smokephysai_tpu.train.loop import create_train_state, make_train_step
@@ -246,8 +250,9 @@ def bench_train_step(
 
     t10, t60 = run(10), run(60)
     ms = (t60 - t10) / 50.0 * 1000.0
-    u = mfu(flops / (ms / 1000.0)) if flops else None
-    return ms, u
+    numer = flops_override or flops
+    u = mfu(numer / (ms / 1000.0)) if numer else None
+    return ms, u, flops
 
 
 def bench_train_epoch(
@@ -665,16 +670,23 @@ def main():
             # (tpu.train_compute_dtype). MFU uses XLA's own FLOP count for the
             # whole fwd+bwd+AdamW program.
             _mark("train step")
-            f32_ms, f32_mfu = bench_train_step("float32")
+            f32_ms, f32_mfu, f32_flops = bench_train_step("float32")
             extra["train_step_ms_f32"] = round(f32_ms, 2)
             if f32_mfu:
                 extra["train_mfu_f32"] = round(f32_mfu, 3)
             _emit()
-            bf16_ms, _ = bench_train_step("bfloat16", use_flash=True)
+            bf16_ms, _, _ = bench_train_step("bfloat16", use_flash=True)
             extra["train_step_ms_bf16_flash"] = round(bf16_ms, 2)
             _emit()
-            fast_ms, fast_mfu = bench_train_step(
-                "bfloat16", use_flash=True, fast_math=True
+            # flash variants: MFU numerator is the einsum program's FLOP
+            # count (f32_flops — dtype doesn't change the count) because
+            # the Pallas flash kernel's FLOPs are invisible to XLA
+            # cost_analysis; the r4 train_mfu_bf16_* numbers divided by a
+            # count MISSING all attention work, deflating MFU ~0.22 -> the
+            # honest ~0.28
+            fast_ms, fast_mfu, _ = bench_train_step(
+                "bfloat16", use_flash=True, fast_math=True,
+                flops_override=f32_flops,
             )
             extra["train_step_ms_bf16_flash_fast"] = round(fast_ms, 2)
             if fast_mfu:
@@ -683,8 +695,9 @@ def main():
             # batch-32 scaling: the parity recipe's batch 8 under-fills the
             # MXU (per-step latency is memory/dispatch-bound); batch 32
             # shows the chip's training-throughput ceiling per step
-            b32_ms, b32_mfu = bench_train_step(
-                "bfloat16", use_flash=True, fast_math=True, batch=32
+            b32_ms, b32_mfu, _ = bench_train_step(
+                "bfloat16", use_flash=True, fast_math=True, batch=32,
+                flops_override=f32_flops * 4.0 if f32_flops else None,
             )
             extra["train_step_ms_bf16_flash_fast_b32"] = round(b32_ms, 2)
             if b32_mfu:
