@@ -271,10 +271,15 @@ def _flash_tokens_fwd_lse(q, k, v, num_heads, scale, block_q, block_k):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _flash_tokens_diff(num_heads, temperature, block_q, block_k, q, k, v):
-    B, L, D = q.shape
-    scale = 1.0 / (float(D // num_heads) ** 0.5 * temperature)
-    out, _ = _flash_tokens_fwd_lse(q, k, v, num_heads, scale, block_q, block_k)
-    return out
+    # PRIMAL path: runs only when the call is NOT being differentiated
+    # (custom_vjp swaps in _flash_trainable_fwd under vjp), i.e. serving.
+    # Use the lean no-lse kernel here — routing inference through the
+    # lse-emitting trainable forward cost the batch-64 flash path ~7%
+    # (r2 1534 fps -> r4 1432; VERDICT r5 serving-regression bisect).
+    return flash_attention_tokens(
+        q, k, v, num_heads, temperature=temperature,
+        block_q=block_q, block_k=block_k,
+    )
 
 
 def _flash_trainable_fwd(num_heads, temperature, block_q, block_k, q, k, v):

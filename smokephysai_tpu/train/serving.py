@@ -102,7 +102,8 @@ def load_model(
 
 
 def make_predictor(
-    model: SmokePhysNet, variables: Dict, chaos_seed: int = 0
+    model: SmokePhysNet, variables: Dict, chaos_seed: int = 0,
+    auto_layout: bool = False,
 ) -> Callable[[Array], Dict[str, Array]]:
     """Jitted batched forward with a fixed chaos key. Input NHWC
     [B, H, W, 1] -> dict {reconstructed, physics_features, latent_features}.
@@ -113,15 +114,52 @@ def make_predictor(
     compile service must ingest per program. The wrapper exposes
     ``predict.jitted`` / ``predict.variables`` so gradient-based callers
     (eval/perturbation.py PGD) can thread the params through their own
-    traces the same way."""
+    traces the same way.
+
+    `auto_layout=True` AOT-compiles at the FIRST call's batch shape with
+    compiler-chosen (Layout.AUTO) weight layouts and device_puts the
+    variables once into the compiled program's preferred formats — a
+    closure-constant program gets free layout choice for its weight
+    literals, and this recovers that freedom for the arguments-style
+    construction without the literal-stuffed module. Calls at other batch
+    shapes fall back to the default jit path."""
     key = jax.random.PRNGKey(chaos_seed)
 
     @jax.jit
     def predict_v(variables: Dict, x: Array) -> Dict[str, Array]:
         return model.apply(variables, x, train=False, rngs={"chaos": key})
 
-    def predict(x: Array) -> Dict[str, Array]:
-        return predict_v(variables, x)
+    if auto_layout:
+        from jax.experimental.layout import Format, Layout
+
+        aot = {}  # x.shape -> (compiled, vs_in_preferred_layout)
+
+        def predict(x: Array) -> Dict[str, Array]:
+            entry = aot.get(x.shape)
+            if entry is None:
+                try:
+                    auto = Format(Layout.AUTO)
+                    jf = jax.jit(
+                        lambda v, xx: model.apply(
+                            v, xx, train=False, rngs={"chaos": key}
+                        ),
+                        in_shardings=(auto, auto),
+                    )
+                    compiled = jf.lower(variables, x).compile()
+                    (vs_fmt, x_fmt), _ = compiled.input_formats
+                    entry = (compiled, jax.device_put(variables, vs_fmt), x_fmt)
+                except Exception:
+                    entry = None  # layout API unavailable: plain path
+                aot[x.shape] = entry if entry is not None else False
+            if not entry:
+                return predict_v(variables, x)
+            compiled, vs_opt, x_fmt = entry
+            return compiled(vs_opt, jax.device_put(x, x_fmt))
+
+    else:
+
+        def predict(x: Array) -> Dict[str, Array]:
+            return predict_v(variables, x)
 
     predict.jitted = predict_v
     predict.variables = variables

@@ -464,3 +464,26 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     assert abs(float(m2["total_loss"]) - loss_ref) < 1e-5, (
         float(m2["total_loss"]), loss_ref,
     )
+
+
+def test_auto_layout_predictor_matches_default(trained_exp_dir):
+    """make_predictor(auto_layout=True): AOT compile with compiler-chosen
+    weight layouts + one-time device_put of the variables; outputs must
+    equal the default arguments-style predictor bitwise-close."""
+    import jax.numpy as jnp
+
+    exp_dir, _ = trained_exp_dir
+    model, variables = load_model(CONFIG, exp_dir)
+    pred = make_predictor(model, variables)
+    pred_auto = make_predictor(model, variables, auto_layout=True)
+    x = jnp.linspace(0, 1, 2 * 64 * 64).reshape(2, 64, 64, 1)
+    a, b = pred(x), pred_auto(x)
+    for k in ("reconstructed", "physics_features"):
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]), atol=1e-5
+        )
+    # second call reuses the AOT entry (shape-keyed)
+    b2 = pred_auto(x)
+    np.testing.assert_array_equal(
+        np.asarray(b["reconstructed"]), np.asarray(b2["reconstructed"])
+    )
