@@ -194,7 +194,7 @@ def bench_streaming(
 
 def bench_train_step(
     train_dtype="float32", use_flash=False, fast_math=False,
-    batch=8, grid=128, flops_override=None,
+    batch=8, grid=128, flops_override=None, rng_impl="threefry",
 ):
     """Training-step device time (ms) + MFU at the reference recipe's shape
     (batch 8, 128^2 — reference train.py:41-127). Slope timing over chained
@@ -219,7 +219,11 @@ def bench_train_step(
     config["tpu"]["fast_math"] = fast_math
     state = create_train_state(config, jax.random.PRNGKey(0))
     tstep = make_train_step(config["physics"])
-    key = jax.random.PRNGKey(1)
+    # rng_impl='rbg' measures tpu.train_rng's fast path: threefry dropout
+    # mask generation costs ~7.8 ms of the 25 ms bf16 step at batch 8
+    # (scripts/probe_train_hotspots.py), rbg ~1 ms.
+    key = (jax.random.PRNGKey(1) if rng_impl == "threefry"
+           else jax.random.key(1, impl=rng_impl))
     ks = jax.random.split(key, 3)
     b = {
         "input": jax.random.uniform(ks[0], (batch, grid, grid, 1)),
@@ -691,6 +695,18 @@ def main():
             extra["train_step_ms_bf16_flash_fast"] = round(fast_ms, 2)
             if fast_mfu:
                 extra["train_mfu_bf16_flash_fast"] = round(fast_mfu, 3)
+            _emit()
+            # + tpu.train_rng='rbg' (r5): threefry dropout masks cost
+            # 7.8 ms of this step (2.7 fwd + 5.1 bwd mask rematerialisation,
+            # scripts/probe_train_hotspots.py); XLA RngBitGenerator keys
+            # recover ~6.8 ms. Param init stays threefry either way.
+            rbg_ms, rbg_mfu, _ = bench_train_step(
+                "bfloat16", use_flash=True, fast_math=True,
+                flops_override=f32_flops, rng_impl="rbg",
+            )
+            extra["train_step_ms_bf16_flash_fast_rbg"] = round(rbg_ms, 2)
+            if rbg_mfu:
+                extra["train_mfu_bf16_flash_fast_rbg"] = round(rbg_mfu, 3)
             _emit()
             # batch-32 scaling: the parity recipe's batch 8 under-fills the
             # MXU (per-step latency is memory/dispatch-bound); batch 32

@@ -69,6 +69,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--no_flash", action="store_true")
     ap.add_argument("--no_fast_math", action="store_true")
+    ap.add_argument("--rng", default="threefry",
+                    help="per-step PRNG impl: threefry (parity) | rbg")
     ap.add_argument("--json", action="store_true", help="one JSON line out")
     ap.add_argument("--n_small", type=int, default=10,
                     help="slope-timing short rep count")
@@ -92,7 +94,8 @@ def main():
 
     state = create_train_state(config, jax.random.PRNGKey(0))
     model = state.apply_fn.__self__  # bound Module of TrainState.apply_fn
-    key = jax.random.PRNGKey(1)
+    key = (jax.random.PRNGKey(1) if cli.rng == "threefry"
+           else jax.random.key(1, impl=cli.rng))
     ks = jax.random.split(key, 3)
     B, G = cli.batch, cli.grid
     batch = {
@@ -213,6 +216,7 @@ def main():
         "config": {
             "batch": B, "grid": G, "dtype": cli.dtype,
             "use_flash": not cli.no_flash, "fast_math": not cli.no_fast_math,
+            "rng": cli.rng,
         },
         "stages_ms": {k: round(v, 2) for k, v in stages.items()},
         "deltas_ms": {k: round(v, 2) for k, v in d.items()},

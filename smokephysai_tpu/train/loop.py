@@ -488,6 +488,14 @@ def fit(
     key = jax.random.PRNGKey(config.get("tpu", {}).get("seed", 0))
     key, init_key = jax.random.split(key)
     state = create_train_state(config, init_key, steps_per_epoch)
+    # Param init above is ALWAYS threefry (weights reproduce the reference
+    # port bit-for-bit); tpu.train_rng switches only the per-step streams
+    # (dropout/chaos/noise) — 'rbg' cuts the measured 7.8 ms/step threefry
+    # dropout cost to ~1 ms on v5e (see utils/config.py tpu.train_rng).
+    rng_impl = config.get("tpu", {}).get("train_rng", "threefry")
+    if rng_impl != "threefry":
+        key = jax.random.key(config.get("tpu", {}).get("seed", 0),
+                             impl=rng_impl)
     if init_from:
         from .serving import _load_npz_variables
 

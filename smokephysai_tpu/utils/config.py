@@ -62,6 +62,15 @@ DEFAULTS: Dict[str, Any] = {
         # tunnel dispatch floor (train/loop.py make_train_epoch). Single-chip
         # + device-resident datasets only; otherwise falls back to the loop.
         # Composes with training.ema_decay (the EMA carry rides in the scan).
+        "train_rng": "threefry",  # PRNG impl for the per-step training
+        # streams (dropout masks, chaos keys, input noise): 'threefry'
+        # (parity default — same streams as every committed checkpoint) or
+        # 'rbg' (XLA RngBitGenerator; TPU-native bit generation). Measured
+        # on v5e at batch 8: threefry dropout costs 7.8 ms of the 25 ms
+        # bf16 step (2.7 fwd + 5.1 bwd — XLA rematerialises the masks in
+        # the backward pass); 'rbg' recovers 6.8 ms (probe_train_hotspots).
+        # Param INIT always stays threefry so initial weights match the
+        # reference port regardless of this setting.
         "use_flash": False,   # Pallas flash attention on the serving path
         "fast_math": False,   # bf16 residual stream in the trunk (serving)
         "fast_encoder": False,  # pool oversize frames to input_dim^2 BEFORE

@@ -269,6 +269,39 @@ class TestTraining:
         assert losses[-1] < losses[0]
         assert int(state.step) == 8
 
+    def test_train_step_rbg_rng(self, tiny_ds):
+        """tpu.train_rng='rbg' (the fast dropout-RNG path, utils/config.py):
+        typed rbg keys flow through fold_in/split/nn.Dropout and the step
+        trains; param init is threefry either way so initial weights are
+        identical to the parity config."""
+        state = create_train_state(
+            TINY_CONFIG, jax.random.PRNGKey(0), steps_per_epoch=3
+        )
+        tstep = make_train_step(TINY_CONFIG["physics"])
+        batch = tiny_ds.sample_batch(jax.random.PRNGKey(5), 2)
+        key = jax.random.key(6, impl="rbg")
+        losses = []
+        for _ in range(8):
+            state, m = tstep(state, batch, key)
+            losses.append(float(m["total_loss"]))
+        assert np.all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+    def test_fit_rbg_rng_smoke(self, tiny_ds, tmp_path):
+        """fit() under tpu.train_rng='rbg' runs end-to-end (epoch driver,
+        eval pass, checkpointing) with the typed-key stream."""
+        import copy
+
+        from smokephysai_tpu.train.loop import fit
+
+        cfg = copy.deepcopy(TINY_CONFIG)
+        cfg["tpu"]["train_rng"] = "rbg"
+        cfg["training"]["num_epochs"] = 1
+        state = fit(cfg, tiny_ds, tiny_ds, str(tmp_path), print_fn=lambda *a: None)
+        assert np.all(
+            np.isfinite(np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
+        )
+
     def test_ema_train_step(self, tiny_ds):
         """ema_decay>0 returns the 4-arg step; the EMA tracks params with
         the expected one-step update rule and stays between init and the
