@@ -550,8 +550,8 @@ def main():
                 )
                 return m, vs, xb
 
-            def batch64_fps(m, vs, xb):
-                pred = make_predictor(m, vs)
+            def batch64_fps(m, vs, xb, auto_layout=False):
+                pred = make_predictor(m, vs, auto_layout=auto_layout)
                 float(pred(xb)["reconstructed"].sum())  # warm + readback
                 reps = 30
                 best = 0.0
@@ -572,8 +572,20 @@ def main():
                 batch64_fps(*batch64_build(True, False)), 1
             )
             _emit()
-            fast_fps = batch64_fps(*batch64_build(True, True))
+            m_f, vs_f, _ = batch64_build(True, True)
+            fast_fps = batch64_fps(m_f, vs_f, xb)
             extra["throughput_fps_batch64_bf16_flash_fast"] = round(fast_fps, 1)
+            _emit()
+            # + compiler-chosen weight layouts (make_predictor auto_layout):
+            # the r2->r4 serving regression bisect (probe_serving_delta.py,
+            # 2026-08-20) measured args 2146 / AUTO 2197 / r2-era closure
+            # 2240 fps — AUTO recovers most of the layout freedom closure
+            # constants got for free, without the 111 MB literal module.
+            auto_fps = batch64_fps(m_f, vs_f, xb, auto_layout=True)
+            extra["throughput_fps_batch64_bf16_flash_fast_auto"] = round(
+                auto_fps, 1
+            )
+            fast_fps = max(fast_fps, auto_fps)
             _emit()
             # honest MFU: XLA's own FLOP count for the einsum-attention
             # forward (the flash kernel's FLOPs aren't in cost_analysis, so

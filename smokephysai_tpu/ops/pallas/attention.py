@@ -29,6 +29,15 @@ Array = jnp.ndarray
 NEG_INF = -1e30
 
 
+def _fused_bwd_enabled() -> bool:
+    """Fused dq+dk+dv backward kernel (default on). Set
+    SMOKEPHYS_FUSED_BWD=0 to fall back to the split dq / dkv kernels —
+    kept for A/B timing and as an escape hatch."""
+    import os
+
+    return os.environ.get("SMOKEPHYS_FUSED_BWD", "1") != "0"
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
     q = q_ref[0]  # [BQ, D] (leading dim is the size-1 batch*head block)
     _, L, D = k_ref.shape
@@ -238,6 +247,59 @@ def _flash_bwd_dkv_kernel(
         ).astype(dk_ref.dtype)
 
 
+def _flash_bwd_fused_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref, *, num_heads: int, scale: float,
+):
+    """dq + dk + dv in ONE pass over (batch, q-block) — the split
+    dq/dkv kernels each recompute S and dP (7 matmul units per head);
+    sharing the recompute here is the theoretical 5 units. dk/dv are
+    f32 FULL-L accumulator blocks whose index map ignores the q-block
+    grid dim, so they stay VMEM-resident across the sequential i
+    iterations and accumulate each q-block's contribution."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    q = q_ref[0]    # [BQ, D]
+    k = k_ref[0]    # [L, D]
+    v = v_ref[0]
+    do = do_ref[0]  # [BQ, D]
+    hd = q.shape[-1] // num_heads
+
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
+        s = (
+            jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )  # [BQ, L]
+        p = jnp.exp(s - lse_ref[0, h, :][:, None])
+        dp = jax.lax.dot_general(
+            doh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, L]
+        ds = (p * (dp - delta_ref[0, h, :][:, None]) * scale).astype(q.dtype)
+        dq_ref[0, :, sl] = jax.lax.dot_general(
+            ds, kh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype)
+        dv_ref[0, :, sl] += jax.lax.dot_general(
+            p.astype(v.dtype), doh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_ref[0, :, sl] += jax.lax.dot_general(
+            ds, qh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
 def _flash_tokens_fwd_lse(q, k, v, num_heads, scale, block_q, block_k):
     B, L, D = q.shape
     out, lse = pl.pallas_call(
@@ -311,6 +373,27 @@ def _flash_trainable_bwd(num_heads, temperature, block_q, block_k, res, g):
                         memory_space=pltpu.VMEM)
     hl_qblk = pl.BlockSpec((1, num_heads, block_q), lambda b, i: (b, 0, i),
                            memory_space=pltpu.VMEM)
+
+    if _fused_bwd_enabled():
+        # one fused pass: S/dP recomputed once per q-block instead of once
+        # per kernel (5 matmul units/head vs the split kernels' 7). dk/dv
+        # accumulate in f32 VMEM blocks revisited across the sequential
+        # q-block iterations; cast to the param dtype on the way out.
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _flash_bwd_fused_kernel, num_heads=num_heads, scale=scale
+            ),
+            grid=(B, L // block_q),
+            in_specs=[qblk, full, full, qblk, hl_qblk, hl_qblk],
+            out_specs=[qblk, full, full],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, L, D), q.dtype),
+                jax.ShapeDtypeStruct((B, L, D), jnp.float32),
+                jax.ShapeDtypeStruct((B, L, D), jnp.float32),
+            ],
+            interpret=use_interpret(),
+        )(q, k, v, g, lse, delta)
+        return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
     dq = pl.pallas_call(
         functools.partial(

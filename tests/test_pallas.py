@@ -234,6 +234,38 @@ def test_flash_trainable_gradients_match_einsum():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_flash_bwd_fused_matches_split(monkeypatch):
+    """The fused dq+dk+dv backward kernel (default) and the split dq/dkv
+    kernels (SMOKEPHYS_FUSED_BWD=0 escape hatch) produce the same
+    gradients — the fused path accumulates dk/dv in f32 across q-block
+    grid iterations instead of reducing inside one kernel invocation."""
+    from smokephysai_tpu.ops.pallas.attention import (
+        flash_attention_tokens_trainable,
+    )
+
+    B, L, D, H = 2, 256, 128, 8
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(11), 4)
+    q = jax.random.normal(k1, (B, L, D))
+    k = jax.random.normal(k2, (B, L, D))
+    v = jax.random.normal(k3, (B, L, D))
+    g = jax.random.normal(k4, (B, L, D))
+
+    def grads():
+        return jax.grad(
+            lambda q, k, v: jnp.sum(
+                flash_attention_tokens_trainable(q, k, v, H, 1.0, block_q=64) * g
+            ),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+
+    monkeypatch.delenv("SMOKEPHYS_FUSED_BWD", raising=False)
+    fused = grads()
+    monkeypatch.setenv("SMOKEPHYS_FUSED_BWD", "0")
+    split = grads()
+    for a, b in zip(fused, split):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
 def test_flash_trainable_temperature_gradients():
     from smokephysai_tpu.ops.pallas.attention import (
         flash_attention_tokens_trainable,
