@@ -218,12 +218,13 @@ def bench_train_step(
     config["tpu"]["use_flash"] = use_flash
     config["tpu"]["fast_math"] = fast_math
     state = create_train_state(config, jax.random.PRNGKey(0))
-    tstep = make_train_step(config["physics"])
     # rng_impl='rbg' measures tpu.train_rng's fast path: threefry dropout
     # mask generation costs ~7.8 ms of the 25 ms bf16 step at batch 8
-    # (scripts/probe_train_hotspots.py), rbg ~1 ms.
-    key = (jax.random.PRNGKey(1) if rng_impl == "threefry"
-           else jax.random.key(1, impl=rng_impl))
+    # (scripts/probe_train_hotspots.py), rbg ~1 ms. The key stays threefry
+    # — _make_step_impl re-wraps it in-trace (no eager rbg op ever hits
+    # the backend; one hung the axon tunnel on 2026-08-20).
+    tstep = make_train_step(config["physics"], rng_impl=rng_impl)
+    key = jax.random.PRNGKey(1)
     ks = jax.random.split(key, 3)
     b = {
         "input": jax.random.uniform(ks[0], (batch, grid, grid, 1)),

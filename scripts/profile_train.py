@@ -94,9 +94,13 @@ def main():
 
     state = create_train_state(config, jax.random.PRNGKey(0))
     model = state.apply_fn.__self__  # bound Module of TrainState.apply_fn
-    key = (jax.random.PRNGKey(1) if cli.rng == "threefry"
-           else jax.random.key(1, impl=cli.rng))
-    ks = jax.random.split(key, 3)
+    # every key here stays threefry regardless of --rng: the full step
+    # re-wraps its streams in-trace (loop._make_step_impl rng_impl) and
+    # the sub-stage programs convert their rngs dict the same way below.
+    # An EAGER top-level rbg uniform hung the axon backend for 20+ min on
+    # 2026-08-20; in-trace rbg bits are fine (probe_train_hotspots).
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
     B, G = cli.batch, cli.grid
     batch = {
         "input": jax.random.uniform(ks[0], (B, G, G, 1)),
@@ -105,6 +109,15 @@ def main():
     }
     k_chaos, k_drop = jax.random.split(key)
     rngs = {"chaos": k_chaos, "dropout": k_drop}
+    if cli.rng != "threefry":
+        # re-wrap as typed keys for the sub-stage programs (key creation
+        # never executes RngBitGenerator; only downstream jitted use does)
+        rngs = {
+            name: jax.random.wrap_key_data(
+                jax.random.bits(k, (4,), jnp.uint32), impl=cli.rng
+            )
+            for name, k in rngs.items()
+        }
 
     # --- forward sub-programs (params/batch_stats as ARGUMENTS) ---
     def enc_fwd(params, bs, x):
@@ -148,7 +161,7 @@ def main():
 
     # --- full step (the production program; non-donated copy so we can
     # call it repeatedly on the same state) ---
-    step_impl = make_train_step(physics_cfg)
+    step_impl = make_train_step(physics_cfg, rng_impl=cli.rng)
 
     p, bs = state.params, state.batch_stats
     x, tgt, cf = batch["input"], batch["target"], batch["chaos_features"]

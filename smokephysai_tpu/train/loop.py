@@ -184,7 +184,9 @@ def compute_losses(
     }
 
 
-def _make_step_impl(physics_cfg: Dict, noise_std: float = 0.0) -> Callable:
+def _make_step_impl(
+    physics_cfg: Dict, noise_std: float = 0.0, rng_impl: str = "threefry"
+) -> Callable:
     """Untransformed (state, batch, rng) -> (state, metrics) train step —
     jitted per-batch by make_train_step, scanned whole-epoch by
     make_train_epoch.
@@ -193,13 +195,27 @@ def _make_step_impl(physics_cfg: Dict, noise_std: float = 0.0) -> Callable:
     frame only (targets/labels untouched) — a denoising augmentation with
     no reference analog (train.py trains clean), opt-in for robustness:
     the r4 3D eval showed feature stability collapsing 0.74 -> 0.29
-    between sigma=0.01 and 0.05 on a clean-trained model."""
+    between sigma=0.01 and 0.05 on a clean-trained model.
+
+    `rng_impl` (tpu.train_rng): 'rbg' re-wraps the derived step keys as
+    XLA RngBitGenerator keys INSIDE the traced step — threefry dropout
+    masks cost 7.8 ms of the 25 ms bf16 batch-8 step on v5e (masks are
+    rematerialised in the backward), rbg ~1 ms. The incoming `rng` stays a
+    plain threefry key, so callers (fit, fused epochs, bench) never run an
+    eager rbg op — an eager top-level rbg uniform hung the axon backend."""
+    def _convert(k):
+        if rng_impl == "threefry":
+            return k
+        return jax.random.wrap_key_data(
+            jax.random.bits(k, (4,), jnp.uint32), impl=rng_impl
+        )
+
     def _step_impl(
         state: TrainState, batch: Dict[str, Array], rng: Array
     ) -> Tuple[TrainState, Dict[str, Array]]:
-        k_chaos, k_drop, k_noise = jax.random.split(
+        k_chaos, k_drop, k_noise = map(_convert, jax.random.split(
             jax.random.fold_in(rng, state.step), 3
-        )
+        ))
         inp = batch["input"]
         if noise_std > 0.0:
             inp = inp + noise_std * jax.random.normal(
@@ -232,7 +248,8 @@ def _make_step_impl(physics_cfg: Dict, noise_std: float = 0.0) -> Callable:
 
 
 def make_train_step(
-    physics_cfg: Dict, ema_decay: float = 0.0, noise_std: float = 0.0
+    physics_cfg: Dict, ema_decay: float = 0.0, noise_std: float = 0.0,
+    rng_impl: str = "threefry",
 ) -> Callable:
     """Jitted, buffer-donated train step (params/opt-state buffers are
     updated in place in HBM).
@@ -243,7 +260,9 @@ def make_train_step(
     and maintains an exponential moving average of the params inside the
     same XLA program (no extra dispatch). EMA lives outside TrainState so
     every existing 3-arg caller is untouched."""
-    _step_impl = _make_step_impl(physics_cfg, noise_std=noise_std)
+    _step_impl = _make_step_impl(
+        physics_cfg, noise_std=noise_std, rng_impl=rng_impl
+    )
 
     if ema_decay:
 
@@ -284,7 +303,7 @@ def make_eval_step(physics_cfg: Dict) -> Callable:
 
 def make_train_epoch(
     train_ds, physics_cfg: Dict, batch_size: int, ema_decay: float = 0.0,
-    noise_std: float = 0.0,
+    noise_std: float = 0.0, rng_impl: str = "threefry",
 ) -> Callable:
     """Whole-epoch fused training program (``tpu.fused_epoch``).
 
@@ -314,7 +333,9 @@ def make_train_epoch(
         gather_device_batch,
     )
 
-    _step_impl = _make_step_impl(physics_cfg, noise_std=noise_std)
+    _step_impl = _make_step_impl(
+        physics_cfg, noise_std=noise_std, rng_impl=rng_impl
+    )
     n, seq_len = len(train_ds), train_ds.sequence_length
     arrays = train_ds.device_arrays()
     seq_f16 = train_ds._seq_f16
@@ -366,7 +387,8 @@ def make_train_epoch(
 
 
 def make_train_epoch_staged(
-    physics_cfg: Dict, ema_decay: float = 0.0, noise_std: float = 0.0
+    physics_cfg: Dict, ema_decay: float = 0.0, noise_std: float = 0.0,
+    rng_impl: str = "threefry",
 ) -> Callable:
     """Fused whole-epoch program over HOST-staged batches (the host-path
     counterpart of make_train_epoch, VERDICT r4 weak #6).
@@ -385,7 +407,9 @@ def make_train_epoch_staged(
 
     Returns ``(state, staged, key_epoch) -> (state, metrics)`` (stacked
     [num_batches] metric leaves), or the EMA 4-arg variant."""
-    _step_impl = _make_step_impl(physics_cfg, noise_std=noise_std)
+    _step_impl = _make_step_impl(
+        physics_cfg, noise_std=noise_std, rng_impl=rng_impl
+    )
 
     if ema_decay:
 
@@ -488,14 +512,12 @@ def fit(
     key = jax.random.PRNGKey(config.get("tpu", {}).get("seed", 0))
     key, init_key = jax.random.split(key)
     state = create_train_state(config, init_key, steps_per_epoch)
-    # Param init above is ALWAYS threefry (weights reproduce the reference
-    # port bit-for-bit); tpu.train_rng switches only the per-step streams
-    # (dropout/chaos/noise) — 'rbg' cuts the measured 7.8 ms/step threefry
-    # dropout cost to ~1 ms on v5e (see utils/config.py tpu.train_rng).
+    # tpu.train_rng='rbg' switches only the per-step streams (dropout/
+    # chaos/noise), re-wrapped INSIDE the traced step (_make_step_impl) —
+    # every key out here stays threefry: param init reproduces the
+    # reference port bit-for-bit and no eager rbg op ever reaches the
+    # backend (one hung the axon tunnel, see utils/config.py).
     rng_impl = config.get("tpu", {}).get("train_rng", "threefry")
-    if rng_impl != "threefry":
-        key = jax.random.key(config.get("tpu", {}).get("seed", 0),
-                             impl=rng_impl)
     if init_from:
         from .serving import _load_npz_variables
 
@@ -538,7 +560,8 @@ def fit(
     ema_decay = float(tc.get("ema_decay", 0.0))
     noise_std = float(tc.get("noise_std", 0.0))
     tstep = make_train_step(
-        config["physics"], ema_decay=ema_decay, noise_std=noise_std
+        config["physics"], ema_decay=ema_decay, noise_std=noise_std,
+        rng_impl=rng_impl,
     )
     if noise_std:
         print_fn(f"Input-noise augmentation (std {noise_std})")
@@ -564,7 +587,7 @@ def fit(
     if fused:
         tepoch = make_train_epoch(
             train_ds, config["physics"], batch_size, ema_decay=ema_decay,
-            noise_std=noise_std,
+            noise_std=noise_std, rng_impl=rng_impl,
         )
         eepoch = make_eval_epoch(val_ds, config["physics"], batch_size)
         print_fn("Fused-epoch training: one XLA program per epoch")
@@ -591,7 +614,8 @@ def fit(
     )
     if staged:
         tepoch_staged = make_train_epoch_staged(
-            config["physics"], ema_decay=ema_decay, noise_std=noise_std
+            config["physics"], ema_decay=ema_decay, noise_std=noise_std,
+            rng_impl=rng_impl,
         )
         import queue as _queue
         import threading as _threading

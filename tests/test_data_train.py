@@ -271,15 +271,16 @@ class TestTraining:
 
     def test_train_step_rbg_rng(self, tiny_ds):
         """tpu.train_rng='rbg' (the fast dropout-RNG path, utils/config.py):
-        typed rbg keys flow through fold_in/split/nn.Dropout and the step
+        the caller's key stays threefry — the step re-wraps its derived
+        streams as rbg keys in-trace (_make_step_impl) — and the step
         trains; param init is threefry either way so initial weights are
         identical to the parity config."""
         state = create_train_state(
             TINY_CONFIG, jax.random.PRNGKey(0), steps_per_epoch=3
         )
-        tstep = make_train_step(TINY_CONFIG["physics"])
+        tstep = make_train_step(TINY_CONFIG["physics"], rng_impl="rbg")
         batch = tiny_ds.sample_batch(jax.random.PRNGKey(5), 2)
-        key = jax.random.key(6, impl="rbg")
+        key = jax.random.PRNGKey(6)
         losses = []
         for _ in range(8):
             state, m = tstep(state, batch, key)
