@@ -379,13 +379,23 @@ def _flash_trainable_bwd(num_heads, temperature, block_q, block_k, res, g):
         # per kernel (5 matmul units/head vs the split kernels' 7). dk/dv
         # accumulate in f32 VMEM blocks revisited across the sequential
         # q-block iterations; cast to the param dtype on the way out.
+        # q-block capped at 128 here: the resident set (K/V + f32 dk/dv
+        # accumulators + the [BQ, L] recompute temporaries) hits the 16 MB
+        # scoped-vmem limit at BQ=256 with f32 inputs (measured 19.03 MB,
+        # scripts/check_fused_bwd_tpu.py); 128 fits both dtypes with
+        # margin and keeps the matmuls at full systolic height.
+        bq = min(block_q, 128)
+        bwd_qblk = pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)
+        bwd_hl_qblk = pl.BlockSpec((1, num_heads, bq), lambda b, i: (b, 0, i),
+                                   memory_space=pltpu.VMEM)
         dq, dk, dv = pl.pallas_call(
             functools.partial(
                 _flash_bwd_fused_kernel, num_heads=num_heads, scale=scale
             ),
-            grid=(B, L // block_q),
-            in_specs=[qblk, full, full, qblk, hl_qblk, hl_qblk],
-            out_specs=[qblk, full, full],
+            grid=(B, L // bq),
+            in_specs=[bwd_qblk, full, full, bwd_qblk, bwd_hl_qblk, bwd_hl_qblk],
+            out_specs=[bwd_qblk, full, full],
             out_shape=[
                 jax.ShapeDtypeStruct((B, L, D), q.dtype),
                 jax.ShapeDtypeStruct((B, L, D), jnp.float32),
