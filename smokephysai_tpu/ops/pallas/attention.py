@@ -249,55 +249,56 @@ def _flash_bwd_dkv_kernel(
 
 def _flash_bwd_fused_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-    dq_ref, dk_ref, dv_ref, *, num_heads: int, scale: float,
+    dq_ref, dk_ref, dv_ref, *, scale: float,
 ):
-    """dq + dk + dv in ONE pass over (batch, q-block) — the split
-    dq/dkv kernels each recompute S and dP (7 matmul units per head);
-    sharing the recompute here is the theoretical 5 units. dk/dv are
-    f32 FULL-L accumulator blocks whose index map ignores the q-block
-    grid dim, so they stay VMEM-resident across the sequential i
-    iterations and accumulate each q-block's contribution."""
-    i = pl.program_id(1)
+    """dq + dk + dv in ONE pass over grid (batch, head, q-block) — the
+    split dq/dkv kernels each recompute S and dP (7 matmul units per
+    head); sharing the recompute here is the theoretical 5 units.
+
+    The head dim lives in the GRID, not a Python loop: an unrolled head
+    loop made Mosaic stack-allocate the [BQ, L] recompute temporaries for
+    several heads at once and blew the 16 MB scoped-vmem limit (19.03 MB
+    at BQ=256, still 17.52 MB at BQ=128 — check_fused_bwd_tpu on v5e).
+    Per-head blocks keep the whole resident set a few hundred KB. dk/dv
+    are f32 per-head full-L accumulator blocks whose index map ignores
+    the innermost q-block grid dim, so they stay VMEM-resident across the
+    sequential i iterations and accumulate each q-block's contribution."""
+    i = pl.program_id(2)
 
     @pl.when(i == 0)
     def _init():
         dk_ref[...] = jnp.zeros_like(dk_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
-    q = q_ref[0]    # [BQ, D]
-    k = k_ref[0]    # [L, D]
+    q = q_ref[0]    # [BQ, hd]
+    k = k_ref[0]    # [L, hd]
     v = v_ref[0]
-    do = do_ref[0]  # [BQ, D]
-    hd = q.shape[-1] // num_heads
-
-    for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
-        s = (
-            jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            * scale
-        )  # [BQ, L]
-        p = jnp.exp(s - lse_ref[0, h, :][:, None])
-        dp = jax.lax.dot_general(
-            doh, vh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [BQ, L]
-        ds = (p * (dp - delta_ref[0, h, :][:, None]) * scale).astype(q.dtype)
-        dq_ref[0, :, sl] = jax.lax.dot_general(
-            ds, kh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dq_ref.dtype)
-        dv_ref[0, :, sl] += jax.lax.dot_general(
-            p.astype(v.dtype), doh, (((0,), (0,)), ((), ())),
+    do = do_ref[0]  # [BQ, hd]
+    s = (
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dk_ref[0, :, sl] += jax.lax.dot_general(
-            ds, qh, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        * scale
+    )  # [BQ, L]
+    p = jnp.exp(s - lse_ref[0, 0, :][:, None])
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, L]
+    ds = (p * (dp - delta_ref[0, 0, :][:, None]) * scale).astype(q.dtype)
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+    dv_ref[0] += jax.lax.dot_general(
+        p.astype(v.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_ref[0] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _flash_tokens_fwd_lse(q, k, v, num_heads, scale, block_q, block_k):
@@ -376,26 +377,23 @@ def _flash_trainable_bwd(num_heads, temperature, block_q, block_k, res, g):
 
     if _fused_bwd_enabled():
         # one fused pass: S/dP recomputed once per q-block instead of once
-        # per kernel (5 matmul units/head vs the split kernels' 7). dk/dv
-        # accumulate in f32 VMEM blocks revisited across the sequential
-        # q-block iterations; cast to the param dtype on the way out.
-        # q-block capped at 128 here: the resident set (K/V + f32 dk/dv
-        # accumulators + the [BQ, L] recompute temporaries) hits the 16 MB
-        # scoped-vmem limit at BQ=256 with f32 inputs (measured 19.03 MB,
-        # scripts/check_fused_bwd_tpu.py); 128 fits both dtypes with
-        # margin and keeps the matmuls at full systolic height.
-        bq = min(block_q, 128)
-        bwd_qblk = pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
-                                memory_space=pltpu.VMEM)
-        bwd_hl_qblk = pl.BlockSpec((1, num_heads, bq), lambda b, i: (b, 0, i),
-                                   memory_space=pltpu.VMEM)
+        # per kernel (5 matmul units/head vs the split kernels' 7). Heads
+        # ride the grid (see kernel docstring — an unrolled head loop blew
+        # scoped VMEM); per-(batch, head) f32 dk/dv accumulator blocks are
+        # revisited across the sequential q-block iterations and cast to
+        # the param dtype on the way out.
+        hd = D // num_heads
+        h_qblk = pl.BlockSpec((1, block_q, hd), lambda b, h, i: (b, i, h),
+                              memory_space=pltpu.VMEM)
+        h_full = pl.BlockSpec((1, L, hd), lambda b, h, i: (b, 0, h),
+                              memory_space=pltpu.VMEM)
+        h_lse = pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i),
+                             memory_space=pltpu.VMEM)
         dq, dk, dv = pl.pallas_call(
-            functools.partial(
-                _flash_bwd_fused_kernel, num_heads=num_heads, scale=scale
-            ),
-            grid=(B, L // bq),
-            in_specs=[bwd_qblk, full, full, bwd_qblk, bwd_hl_qblk, bwd_hl_qblk],
-            out_specs=[bwd_qblk, full, full],
+            functools.partial(_flash_bwd_fused_kernel, scale=scale),
+            grid=(B, num_heads, L // block_q),
+            in_specs=[h_qblk, h_full, h_full, h_qblk, h_lse, h_lse],
+            out_specs=[h_qblk, h_full, h_full],
             out_shape=[
                 jax.ShapeDtypeStruct((B, L, D), q.dtype),
                 jax.ShapeDtypeStruct((B, L, D), jnp.float32),
