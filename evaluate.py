@@ -27,6 +27,7 @@ def run_evaluation(
     num_samples: int = 50,
     num_physics_tests: int = 50,
     partial_path: str = None,
+    sections: set = None,
 ) -> dict:
     """Build the full robustness/perturbation report for a checkpoint.
 
@@ -34,7 +35,13 @@ def run_evaluation(
     every completed section (with ``"partial": true`` until the run
     finishes), so a wall-clock kill mid-suite still publishes the
     completed stages — the 3D volumetric runs take over an hour through
-    the tunnel and one already died at stage 3/5 with nothing emitted."""
+    the tunnel and one already died at stage 3/5 with nothing emitted.
+
+    `sections` restricts the report to a subset of
+    {physics_consistency, reconstruction, gaussian_noise, adversarial,
+    physics_perturbation} — a targeted re-measure (e.g. the noise sweep
+    on a noise-augmented 3D checkpoint) costs minutes instead of the
+    full volumetric hour."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -107,44 +114,53 @@ def run_evaluation(
             with open(partial_path, "w") as f:
                 json.dump({"partial": True, **report}, f, indent=2)
 
+    def _want(name):
+        return sections is None or name in sections
+
     evaluator = RobustnessEvaluator()
-    _stage("physics consistency")
-    report["physics_consistency"] = evaluator.evaluate_physics_consistency(
+    if _want("physics_consistency"):
+        _stage("physics consistency")
+        report["physics_consistency"] = evaluator.evaluate_physics_consistency(
         predict, inputs,
-        {
-            "lyapunov": chaos[:, 0],
-            "fractal_dimension": chaos[:, 1],
-            "entropy": chaos[:, 2],
-        },
-    )
-    _flush_partial()
-    _stage("reconstruction quality")
-    report["reconstruction"] = evaluator.evaluate_reconstruction_quality(
-        predict, inputs, targets
-    )
-    _flush_partial()
+            {
+                "lyapunov": chaos[:, 0],
+                "fractal_dimension": chaos[:, 1],
+                "entropy": chaos[:, 2],
+            },
+        )
+        _flush_partial()
+    if _want("reconstruction"):
+        _stage("reconstruction quality")
+        report["reconstruction"] = evaluator.evaluate_reconstruction_quality(
+            predict, inputs, targets
+        )
+        _flush_partial()
 
     tester = PerturbationTester()
-    _stage("gaussian noise")
-    report["gaussian_noise"] = tester.gaussian_noise_test(
-        predict, inputs, key=jax.random.PRNGKey(config["tpu"].get("seed", 0))
-    )
-    _flush_partial()
-    _stage("adversarial (PGD)")
-    report["adversarial"] = tester.adversarial_test(
-        raw_predict, inputs, chunk_size=grad_chunk
-    )
-    _flush_partial()
-    _stage("physics perturbation scenarios")
-    report["physics_perturbation"] = tester.physics_perturbation_test(
-        raw_predict,
-        grid_size=grid_size,
-        num_tests=num_physics_tests,
-        num_steps=config["data"]["sequence_length"],
-        key=jax.random.PRNGKey(config["tpu"].get("seed", 0) + 3),
-        dt=config["simulation"]["dt"],
-        viscosity=config["simulation"]["viscosity"],
-    )
+    if _want("gaussian_noise"):
+        _stage("gaussian noise")
+        report["gaussian_noise"] = tester.gaussian_noise_test(
+            predict, inputs,
+            key=jax.random.PRNGKey(config["tpu"].get("seed", 0)),
+        )
+        _flush_partial()
+    if _want("adversarial"):
+        _stage("adversarial (PGD)")
+        report["adversarial"] = tester.adversarial_test(
+            raw_predict, inputs, chunk_size=grad_chunk
+        )
+        _flush_partial()
+    if _want("physics_perturbation"):
+        _stage("physics perturbation scenarios")
+        report["physics_perturbation"] = tester.physics_perturbation_test(
+            raw_predict,
+            grid_size=grid_size,
+            num_tests=num_physics_tests,
+            num_steps=config["data"]["sequence_length"],
+            key=jax.random.PRNGKey(config["tpu"].get("seed", 0) + 3),
+            dt=config["simulation"]["dt"],
+            viscosity=config["simulation"]["viscosity"],
+        )
     _stage("done")
     return report
 
@@ -172,6 +188,12 @@ def main():
         "--output", type=str, default="evaluation_results.json",
         help="Where to write the JSON report",
     )
+    parser.add_argument(
+        "--sections", type=str, default="all",
+        help="comma-separated subset of physics_consistency,reconstruction,"
+        "gaussian_noise,adversarial,physics_perturbation (default: all) — "
+        "targeted re-measures instead of the full volumetric hour",
+    )
     args = parser.parse_args()
 
     import jax
@@ -184,6 +206,9 @@ def main():
     report = run_evaluation(
         config, args.checkpoint, args.num_samples, args.num_physics_tests,
         partial_path=args.output,
+        sections=(
+            None if args.sections == "all" else set(args.sections.split(","))
+        ),
     )
 
     print(json.dumps(report, indent=2))
