@@ -262,11 +262,14 @@ def bench_train_step(
 
 def bench_train_epoch(
     mode, train_dtype="bfloat16", use_flash=True, fast_math=True, batch=8,
-    num_samples=800,
+    num_samples=400,
 ):
     """Wall ms/step of a REAL training epoch — batch gathers + steps + epoch
-    orchestration on an 800-episode 128² dataset, i.e. what fit() actually
-    pays, unlike bench_train_step's back-to-back donated slope. Modes:
+    orchestration on a 400-episode 128² dataset, i.e. what fit() actually
+    pays, unlike bench_train_step's back-to-back donated slope. (400
+    episodes = 50 steps/epoch × 3 epochs per mode — enough to average the
+    per-step wall; 800 pushed the four modes past the driver's budget and
+    got streaming skipped in the r5 builder run.) Modes:
 
       loop        per-batch loop, device-resident data (one tunnel dispatch
                   per gather and per step, ~20-30 ms each)
