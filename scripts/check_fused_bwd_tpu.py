@@ -37,7 +37,7 @@ def main():
             argnums=(0, 1, 2),
         )(q, k, v)
 
-    os.environ.pop("SMOKEPHYS_FUSED_BWD", None)
+    os.environ["SMOKEPHYS_FUSED_BWD"] = "1"
     fused = [np.asarray(x) for x in grads()]
     os.environ["SMOKEPHYS_FUSED_BWD"] = "0"
     split = [np.asarray(x) for x in grads()]

@@ -30,12 +30,14 @@ NEG_INF = -1e30
 
 
 def _fused_bwd_enabled() -> bool:
-    """Fused dq+dk+dv backward kernel (default on). Set
-    SMOKEPHYS_FUSED_BWD=0 to fall back to the split dq / dkv kernels —
-    kept for A/B timing and as an escape hatch."""
+    """Fused dq+dk+dv backward kernel — opt-in via SMOKEPHYS_FUSED_BWD=1
+    until the head-major layout has a green TPU numeric check
+    (scripts/check_fused_bwd_tpu.py). The head-looped ancestor measured
+    trunk bwd 14.48 -> 11.92 ms (profile_train, v5e) but fit scoped VMEM
+    only for bf16; the split kernels are the validated default."""
     import os
 
-    return os.environ.get("SMOKEPHYS_FUSED_BWD", "1") != "0"
+    return os.environ.get("SMOKEPHYS_FUSED_BWD", "0") == "1"
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
@@ -259,10 +261,15 @@ def _flash_bwd_fused_kernel(
     loop made Mosaic stack-allocate the [BQ, L] recompute temporaries for
     several heads at once and blew the 16 MB scoped-vmem limit (19.03 MB
     at BQ=256, still 17.52 MB at BQ=128 — check_fused_bwd_tpu on v5e).
-    Per-head blocks keep the whole resident set a few hundred KB. dk/dv
-    are f32 per-head full-L accumulator blocks whose index map ignores
-    the innermost q-block grid dim, so they stay VMEM-resident across the
-    sequential i iterations and accumulate each q-block's contribution."""
+    Operands arrive HEAD-MAJOR [B, H, L, hd] (the wrapper transposes):
+    Mosaic requires a block's last dim be 128-divisible or equal the
+    array's, so per-head slices of a packed [B, L, D] layout (last dim
+    hd=64) cannot be blocked — as the full last dim of a 4D layout they
+    can. Per-head blocks keep the resident set a few hundred KB. dk/dv
+    are f32 per-(batch, head) full-L accumulator blocks whose index map
+    ignores the innermost q-block grid dim, so they stay VMEM-resident
+    across the sequential i iterations and accumulate each q-block's
+    contribution."""
     i = pl.program_id(2)
 
     @pl.when(i == 0)
@@ -270,10 +277,12 @@ def _flash_bwd_fused_kernel(
         dk_ref[...] = jnp.zeros_like(dk_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
-    q = q_ref[0]    # [BQ, hd]
-    k = k_ref[0]    # [L, hd]
-    v = v_ref[0]
-    do = do_ref[0]  # [BQ, hd]
+    q = q_ref[0, 0]    # [BQ, hd]
+    k = k_ref[0, 0]    # [L, hd]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]  # [BQ, hd]
+    lse = lse_ref[0, 0, 0, :]      # [BQ] (query rows of this block)
+    delta = delta_ref[0, 0, 0, :]  # [BQ]
     s = (
         jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -281,21 +290,21 @@ def _flash_bwd_fused_kernel(
         )
         * scale
     )  # [BQ, L]
-    p = jnp.exp(s - lse_ref[0, 0, :][:, None])
+    p = jnp.exp(s - lse[:, None])
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [BQ, L]
-    ds = (p * (dp - delta_ref[0, 0, :][:, None]) * scale).astype(q.dtype)
-    dq_ref[0] = jax.lax.dot_general(
+    ds = (p * (dp - delta[:, None]) * scale).astype(q.dtype)
+    dq_ref[0, 0] = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dq_ref.dtype)
-    dv_ref[0] += jax.lax.dot_general(
+    dv_ref[0, 0] += jax.lax.dot_general(
         p.astype(v.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dk_ref[0] += jax.lax.dot_general(
+    dk_ref[0, 0] += jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -378,16 +387,25 @@ def _flash_trainable_bwd(num_heads, temperature, block_q, block_k, res, g):
     if _fused_bwd_enabled():
         # one fused pass: S/dP recomputed once per q-block instead of once
         # per kernel (5 matmul units/head vs the split kernels' 7). Heads
-        # ride the grid (see kernel docstring — an unrolled head loop blew
-        # scoped VMEM); per-(batch, head) f32 dk/dv accumulator blocks are
-        # revisited across the sequential q-block iterations and cast to
-        # the param dtype on the way out.
+        # ride the grid in a HEAD-MAJOR [B, H, L, hd] layout (see kernel
+        # docstring: an unrolled head loop blew scoped VMEM, and per-head
+        # blocks of the packed token-major layout violate Mosaic's
+        # last-dim-divisible-by-128 block rule). The transposes cost
+        # ~56 MB of HBM traffic (~0.1 ms) against the ~2.5 ms the shared
+        # recompute saves. Per-(batch, head) f32 dk/dv accumulator blocks
+        # are revisited across the sequential q-block iterations.
         hd = D // num_heads
-        h_qblk = pl.BlockSpec((1, block_q, hd), lambda b, h, i: (b, i, h),
+
+        def hmajor(x):
+            return x.reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)
+
+        h_qblk = pl.BlockSpec((1, 1, block_q, hd),
+                              lambda b, h, i: (b, h, i, 0),
                               memory_space=pltpu.VMEM)
-        h_full = pl.BlockSpec((1, L, hd), lambda b, h, i: (b, 0, h),
+        h_full = pl.BlockSpec((1, 1, L, hd), lambda b, h, i: (b, h, 0, 0),
                               memory_space=pltpu.VMEM)
-        h_lse = pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i),
+        h_lse = pl.BlockSpec((1, 1, 1, block_q),
+                             lambda b, h, i: (b, h, 0, i),
                              memory_space=pltpu.VMEM)
         dq, dk, dv = pl.pallas_call(
             functools.partial(_flash_bwd_fused_kernel, scale=scale),
@@ -395,13 +413,23 @@ def _flash_trainable_bwd(num_heads, temperature, block_q, block_k, res, g):
             in_specs=[h_qblk, h_full, h_full, h_qblk, h_lse, h_lse],
             out_specs=[h_qblk, h_full, h_full],
             out_shape=[
-                jax.ShapeDtypeStruct((B, L, D), q.dtype),
-                jax.ShapeDtypeStruct((B, L, D), jnp.float32),
-                jax.ShapeDtypeStruct((B, L, D), jnp.float32),
+                jax.ShapeDtypeStruct((B, num_heads, L, hd), q.dtype),
+                jax.ShapeDtypeStruct((B, num_heads, L, hd), jnp.float32),
+                jax.ShapeDtypeStruct((B, num_heads, L, hd), jnp.float32),
             ],
             interpret=use_interpret(),
-        )(q, k, v, g, lse, delta)
-        return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+        )(
+            hmajor(q), hmajor(k), hmajor(v), hmajor(g),
+            lse.reshape(B, num_heads, 1, L),
+            delta.reshape(B, num_heads, 1, L),
+        )
+
+        def tmajor(x, dtype):
+            return x.transpose(0, 2, 1, 3).reshape(B, L, D).astype(dtype)
+
+        return (
+            tmajor(dq, q.dtype), tmajor(dk, k.dtype), tmajor(dv, v.dtype)
+        )
 
     dq = pl.pallas_call(
         functools.partial(

@@ -258,7 +258,7 @@ def test_flash_bwd_fused_matches_split(monkeypatch):
             argnums=(0, 1, 2),
         )(q, k, v)
 
-    monkeypatch.delenv("SMOKEPHYS_FUSED_BWD", raising=False)
+    monkeypatch.setenv("SMOKEPHYS_FUSED_BWD", "1")
     fused = grads()
     monkeypatch.setenv("SMOKEPHYS_FUSED_BWD", "0")
     split = grads()
