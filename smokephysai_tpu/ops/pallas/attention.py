@@ -30,14 +30,16 @@ NEG_INF = -1e30
 
 
 def _fused_bwd_enabled() -> bool:
-    """Fused dq+dk+dv backward kernel — opt-in via SMOKEPHYS_FUSED_BWD=1
-    until the head-major layout has a green TPU numeric check
-    (scripts/check_fused_bwd_tpu.py). The head-looped ancestor measured
-    trunk bwd 14.48 -> 11.92 ms (profile_train, v5e) but fit scoped VMEM
-    only for bf16; the split kernels are the validated default."""
+    """Fused dq+dk+dv backward kernel (default on). TPU-validated
+    2026-08-21: the head-major layout Mosaic-compiles and matches the
+    split kernels to f32 rounding (dq exact, dk/dv ~1e-7 — scripts/
+    check_fused_bwd_tpu.py on v5e); the head-looped ancestor measured
+    trunk bwd 14.48 -> 11.92 ms (profile_train). Set SMOKEPHYS_FUSED_BWD=0
+    to fall back to the split dq / dkv kernels (A/B timing, escape
+    hatch)."""
     import os
 
-    return os.environ.get("SMOKEPHYS_FUSED_BWD", "0") == "1"
+    return os.environ.get("SMOKEPHYS_FUSED_BWD", "1") != "0"
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
